@@ -1,0 +1,140 @@
+"""Gazetteer mention detection — the throughput-critical operator.
+
+Reference semantics: SciBite termite hits — per document, the set of
+dictionary terms found in its text (scibite_cord.py:141-171 gathers
+termite_hits over metadata/abstract/body; E4 in SURVEY.md §2.7 is the
+doc → per-term node + ``biolink:mentions`` edge explosion).
+
+Spark-first design:
+
+* The dictionary is tiny relative to the corpus → it is a **broadcast
+  variable**; a token-level **Aho-Corasick automaton** is built once per
+  executor (lazy module-level cache keyed by dictionary version), never
+  per batch and never per row.
+* The kernel is an Arrow-vectorized ``pandas_udf`` returning
+  ``array<struct<term,curie,name,category,tok_begin,tok_end>>`` which the
+  caller ``explode``s — mirroring the reference's one-doc→many-hits shape
+  with zero shuffles (a mention's row is its document's row).
+* Per-document dedup ((doc, curie) distinct — the reference's ``seen`` set,
+  scibite_cord.py:187-188) happens **inside the kernel**, so no global
+  shuffle is ever needed for mention edges: dedup state is row-local.
+* Tokenization is fixed: ``lower(text)`` split on ``[^a-z0-9]+``. This is
+  the determinism boundary — same tokens at any parallelism.
+
+At 100 TB: this operator is embarrassingly parallel (narrow, no shuffle);
+throughput scales linearly with executors as long as input splits are sized
+by ``spark.sql.files.maxPartitionBytes``. The only cluster-wide state is the
+broadcast dictionary (a few MB for full MONDO/CHEBI/HGNC).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dictionaries import normalized_gazetteer
+from ..schemas import MENTIONS_ARRAY
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+class TokenAhoCorasick:
+    """Token-level Aho-Corasick: matches multi-token phrases over the token
+    stream. For the (common) all-unigram dictionary this degenerates to a
+    dict lookup per token, which is what the fast path uses."""
+
+    def __init__(self, entries: Iterable[tuple[str, str, str, str]]):
+        # entries: (term, curie, name, category); term may be multi-word.
+        self.unigrams: dict[str, tuple[str, str, str, str]] = {}
+        self.phrases: dict[tuple[str, ...], tuple[str, str, str, str]] = {}
+        self.max_len = 1
+        for term, curie, name, cat in entries:
+            toks = tuple(t for t in _TOKEN_RE.split(term.lower()) if t)
+            if len(toks) == 1:
+                self.unigrams[toks[0]] = (term, curie, name, cat)
+            elif toks:
+                self.phrases[toks] = (term, curie, name, cat)
+                self.max_len = max(self.max_len, len(toks))
+        # first-token index for phrase candidates
+        self.phrase_heads: dict[str, list[tuple[tuple[str, ...], tuple]] ] = {}
+        for toks, payload in self.phrases.items():
+            self.phrase_heads.setdefault(toks[0], []).append((toks, payload))
+
+    def tokenize(self, text: str) -> list[str]:
+        return [t for t in _TOKEN_RE.split(text.lower()) if t]
+
+    def find(self, text: str) -> list[tuple]:
+        """Return deduped mentions [(term,curie,name,cat,tok_begin,tok_end)].
+
+        Dedup key is the canonical curie — the reference's per-document
+        ``seen`` set (scibite_cord.py:187-188); the first occurrence's span
+        is kept (token order is well defined within one document).
+        """
+        toks = self.tokenize(text)
+        seen: set[str] = set()
+        out: list[tuple] = []
+        heads = self.phrase_heads
+        unigrams = self.unigrams
+        for i, tok in enumerate(toks):
+            if heads:
+                for ptoks, payload in heads.get(tok, ()):  # longest-first not
+                    # needed: distinct curies dedup anyway
+                    j = i + len(ptoks)
+                    if tuple(toks[i:j]) == ptoks and payload[1] not in seen:
+                        seen.add(payload[1])
+                        out.append((*payload, i, j))
+            hit = unigrams.get(tok)
+            if hit is not None and hit[1] not in seen:
+                seen.add(hit[1])
+                out.append((*hit, i, i + 1))
+        return out
+
+
+# Per-executor automaton cache: key → automaton. Built lazily on first batch,
+# reused for the lifetime of the Python worker (the broadcast-dict analog of
+# the reference's load-once dictionaries, string_ppi.py:46-59).
+_AUTOMATON_CACHE: dict[str, TokenAhoCorasick] = {}
+
+
+def _get_automaton(key: str, entries) -> TokenAhoCorasick:
+    auto = _AUTOMATON_CACHE.get(key)
+    if auto is None:
+        auto = TokenAhoCorasick(entries)
+        _AUTOMATON_CACHE[key] = auto
+    return auto
+
+
+def make_mention_udf(entries: list[tuple[str, str, str, str]] | None = None,
+                     cache_key: str = "default"):
+    """Build the Arrow-vectorized mention-detection UDF over ``entries``
+    (defaults to the canonical normalized gazetteer)."""
+    entries = entries if entries is not None else normalized_gazetteer()
+
+    @F.pandas_udf(MENTIONS_ARRAY)
+    def detect_mentions(text: pd.Series) -> pd.Series:
+        auto = _get_automaton(cache_key, entries)
+        return text.map(lambda t: [] if t is None else auto.find(t))
+
+    return detect_mentions
+
+
+def with_mentions(df: DataFrame, text_col: Column | str = "text",
+                  entries: list[tuple[str, str, str, str]] | None = None,
+                  cache_key: str = "default") -> DataFrame:
+    """df + exploded mention columns (term, curie, name, category, spans).
+
+    Narrow transformation — no shuffle. Documents with zero mentions are
+    dropped (inner explode), matching the reference which emits nothing for
+    hit-less sections.
+    """
+    udf = make_mention_udf(entries, cache_key)
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        df.withColumn("_mention", F.explode(udf(col)))
+        .select("*", "_mention.*")
+        .drop("_mention")
+    )

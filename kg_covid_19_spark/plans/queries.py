@@ -1,0 +1,237 @@
+"""The reference's query surface, re-expressed as DataFrame plans.
+
+kg-covid-19 ships 7 grlc/SPARQL templates run against Blazegraph
+(queries/*.rq, kg_covid_19/query.py:8-41). Each becomes a DataFrame query
+over the merged node/edge frames; each carries a DuckDB oracle (the full
+pipeline CTE from dictionaries.kg_cte_sql plus the query's SELECT) so the
+driver's correctness gate checks the *entire* pipeline semantics, not just
+the final aggregation.
+
+Mapping (SURVEY.md §2.3 J11-J13, §2.4 A7):
+
+  query-01-bl-cat-counts.rq        → kg_category_counts
+  query-02 (taxon/category select) → kg_protein_nodes
+  query-03-…-interactors.rq        → kg_one_hop
+  query-04 (2-hop)                 → kg_two_hop
+  query-05 (druggable 2-hop)       → kg_druggable_two_hop
+  query-06-provided_by_counts.rq   → kg_provided_by_counts
+  query-07 (drug→target listing)   → kg_drug_mentions
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dictionaries import kg_cte_sql
+from .pipeline import build_kg, doc_mentions
+
+# The hub entity for the hop queries — the reference's SARS-CoV-2 anchor
+# (queries/query-03-sars-cov-2-interactors.rq) becomes our most-canonical
+# disease CURIE (both 'hash' and 'merge' normalize onto it).
+HUB = "MONDO:0005091"
+
+
+def kg_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-01: COUNT(*) per Biolink category over merged nodes (A7)."""
+    nodes, _ = build_kg(spark, sf_dir)
+    return nodes.groupBy("category").agg(F.count("*").alias("n"))
+
+
+def kg_protein_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-02 analog: category-filtered node selection."""
+    nodes, _ = build_kg(spark, sf_dir)
+    return nodes.filter(F.col("category") == "biolink:Protein").select(
+        "id", "name", "category"
+    )
+
+
+def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-03: 1-hop neighbours of the hub with OPTIONAL label (J11, J13).
+
+    Edges are undirected co-occurrences stored once with subject < object,
+    so the hop is the union of both orientations; the label join is
+    left-outer (SPARQL OPTIONAL).
+    """
+    nodes, edges = build_kg(spark, sf_dir)
+    cooc = edges.filter(F.col("predicate") == "biolink:correlated_with")
+    nbrs = (
+        cooc.filter(F.col("subject") == HUB).select(F.col("object").alias("id"))
+        .unionAll(
+            cooc.filter(F.col("object") == HUB).select(F.col("subject").alias("id"))
+        )
+        .distinct()
+    )
+    labels = F.broadcast(
+        nodes.filter(F.col("category") != "biolink:Publication")
+        .select("id", "name", "category")
+    )
+    return nbrs.join(labels, "id", "left").select("id", "name", "category")
+
+
+def _undirected(cooc: DataFrame) -> DataFrame:
+    return cooc.select("subject", "object").unionAll(
+        cooc.select(F.col("object").alias("subject"), F.col("subject").alias("object"))
+    )
+
+
+def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-04: 2-hop self-join — x co-occurs with HUB, y co-occurs with x
+    (J12). Returns distinct (mid, far) pairs, far ∉ {HUB}."""
+    _, edges = build_kg(spark, sf_dir)
+    und = _undirected(edges.filter(F.col("predicate") == "biolink:correlated_with"))
+    hop1 = und.filter(F.col("subject") == HUB).select(F.col("object").alias("mid"))
+    hop2 = und.withColumnRenamed("subject", "mid").withColumnRenamed("object", "far")
+    return (
+        hop1.join(hop2, "mid")
+        .filter(F.col("far") != HUB)
+        .select("mid", "far")
+        .distinct()
+    )
+
+
+def kg_druggable_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-05: the 2-hop restricted to drug endpoints (the reference's
+    druggable-genome TDL='Tclin' constraint becomes category='biolink:Drug')."""
+    nodes, edges = build_kg(spark, sf_dir)
+    und = _undirected(edges.filter(F.col("predicate") == "biolink:correlated_with"))
+    hop1 = und.filter(F.col("subject") == HUB).select(F.col("object").alias("mid"))
+    hop2 = und.withColumnRenamed("subject", "mid").withColumnRenamed("object", "far")
+    drugs = F.broadcast(
+        nodes.filter(F.col("category") == "biolink:Drug")
+        .select(F.col("id").alias("far"), F.col("name").alias("drug_name"))
+    )
+    return (
+        hop1.join(hop2, "mid")
+        .filter(F.col("far") != HUB)
+        .join(drugs, "far")
+        .select("mid", "far", "drug_name")
+        .distinct()
+    )
+
+
+def kg_provided_by_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-06: COUNT per provided_by over merged edges, ORDER BY DESC."""
+    _, edges = build_kg(spark, sf_dir)
+    return (
+        edges.groupBy("provided_by")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "provided_by")
+    )
+
+
+def kg_drug_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-07 analog: documents mentioning drug entities, with labels."""
+    nodes, edges = build_kg(spark, sf_dir)
+    m = edges.filter(F.col("predicate") == "biolink:mentions")
+    drugs = F.broadcast(
+        nodes.filter(F.col("category") == "biolink:Drug")
+        .select(F.col("id").alias("object"), F.col("name").alias("drug_name"))
+    )
+    return m.join(drugs, "object").select(
+        F.col("subject").alias("doc"), F.col("object").alias("drug"), "drug_name"
+    )
+
+
+def kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity document frequency — the A3/A5 degree-count analog."""
+    m = doc_mentions(spark, sf_dir)
+    return m.groupBy("curie").agg(F.countDistinct("doc_id").alias("n_docs"))
+
+
+def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair co-occurrence support counts (A2 with counts kept — the scale
+    variant of pair dedup: partial-agg-friendly groupBy over ≤|dict|² keys)."""
+    m = doc_mentions(spark, sf_dir)
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.curie") < F.col("b.curie")))
+        .groupBy(F.col("a.curie").alias("subject"), F.col("b.curie").alias("object"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+KG_QUERIES = {
+    "kg_category_counts": kg_category_counts,
+    "kg_protein_nodes": kg_protein_nodes,
+    "kg_one_hop": kg_one_hop,
+    "kg_two_hop": kg_two_hop,
+    "kg_druggable_two_hop": kg_druggable_two_hop,
+    "kg_provided_by_counts": kg_provided_by_counts,
+    "kg_drug_mentions": kg_drug_mentions,
+    "kg_mention_counts": kg_mention_counts,
+    "kg_cooccurrence_counts": kg_cooccurrence_counts,
+}
+
+_CTE = kg_cte_sql()
+
+KG_ORACLES = {
+    "kg_category_counts": f"""
+WITH {_CTE}
+SELECT category, count(*) AS n FROM nodes GROUP BY category
+""",
+    "kg_protein_nodes": f"""
+WITH {_CTE}
+SELECT id, name, category FROM nodes WHERE category = 'biolink:Protein'
+""",
+    "kg_one_hop": f"""
+WITH {_CTE},
+nbrs AS (
+  SELECT DISTINCT id FROM (
+    SELECT object AS id FROM cooc_edges WHERE subject = '{HUB}'
+    UNION ALL
+    SELECT subject AS id FROM cooc_edges WHERE object = '{HUB}'
+  )
+)
+SELECT n.id, t.name, t.category
+FROM nbrs n LEFT JOIN term_nodes t ON n.id = t.id
+""",
+    "kg_two_hop": f"""
+WITH {_CTE},
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)
+SELECT DISTINCT h1.object AS mid, h2.object AS far
+FROM und h1 JOIN und h2 ON h1.object = h2.subject
+WHERE h1.subject = '{HUB}' AND h2.object <> '{HUB}'
+""",
+    "kg_druggable_two_hop": f"""
+WITH {_CTE},
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)
+SELECT DISTINCT h1.object AS mid, h2.object AS far, t.name AS drug_name
+FROM und h1
+JOIN und h2 ON h1.object = h2.subject
+JOIN term_nodes t ON h2.object = t.id AND t.category = 'biolink:Drug'
+WHERE h1.subject = '{HUB}' AND h2.object <> '{HUB}'
+""",
+    "kg_provided_by_counts": f"""
+WITH {_CTE}
+SELECT provided_by, count(*) AS n FROM edges GROUP BY provided_by
+ORDER BY n DESC, provided_by
+""",
+    "kg_drug_mentions": f"""
+WITH {_CTE}
+SELECT e.subject AS doc, e.object AS drug, t.name AS drug_name
+FROM mention_edges e
+JOIN term_nodes t ON e.object = t.id AND t.category = 'biolink:Drug'
+""",
+    "kg_mention_counts": f"""
+WITH {_CTE}
+SELECT curie, count(DISTINCT doc_id) AS n_docs FROM mentions GROUP BY curie
+""",
+    "kg_cooccurrence_counts": f"""
+WITH {_CTE}
+SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
+FROM mentions a JOIN mentions b
+  ON a.doc_id = b.doc_id AND a.curie < b.curie
+GROUP BY a.curie, b.curie
+""",
+}

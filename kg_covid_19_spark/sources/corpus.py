@@ -1,0 +1,52 @@
+"""Table providers: the web-page corpus and driver test tables.
+
+Abstracts Iceberg vs Parquet (SURVEY.md §7.4 risk 6): the sandbox has no
+Iceberg catalog jars, so path-Parquet is the hermetic fallback; on a real
+cluster `read_table` resolves ``iceberg:<catalog.table>`` names to
+``spark.read.table`` (partition pruning on lang/warc_ts days comes for free
+either way — both sources expose partition columns to Catalyst).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver table, or an Iceberg table if ``name`` is iceberg:..."""
+    if name.startswith("iceberg:"):
+        return spark.read.table(name.split(":", 1)[1])
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def web_pages(spark: SparkSession, sf_dir: str,
+              langs: tuple[str, ...] | None = None) -> DataFrame:
+    """The engine's input table per BASELINE.json input_hint:
+    (url, warc_ts, html, text, lang) — derived deterministically from the
+    driver's documents table (doc_id → url; text pre-extracted; html null).
+
+    The lang filter is applied here so Catalyst pushes it into the scan
+    (on a partitioned Iceberg table this is partition pruning).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    if langs:
+        docs = docs.filter(F.col("lang").isin(list(langs)))
+    return docs.select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.to_timestamp(F.lit("2020-03-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )

@@ -1,0 +1,70 @@
+"""Scalar-function goldens, mirroring tests/test_transform_utils.py:14-37."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg_covid_19_spark.functions import curie as C
+
+
+def _eval(spark, expr, value):
+    return (
+        spark.createDataFrame([(value,)], "v string")
+        .select(expr(F.col("v")).alias("r"))
+        .first()["r"]
+    )
+
+
+def test_collapse_uniprot_curie(spark):
+    # goldens from tests/test_transform_utils.py:26-37
+    cases = {
+        "foobar": "foobar",
+        "UniProtKB:P63151-1": "UniProtKB:P63151",
+        "uniprotkb:P63151-2": "uniprotkb:P63151",
+        "UniProtKB:P63151": "UniProtKB:P63151",
+        "ENSEMBL:ENSG00000245105-1": "ENSEMBL:ENSG00000245105-1",
+    }
+    for inp, want in cases.items():
+        assert _eval(spark, C.collapse_uniprot_curie, inp) == want
+
+
+def test_guess_bl_category(spark):
+    # goldens from tests/test_transform_utils.py:14-24 + our prefix universe
+    cases = {
+        "UniProtKB:P63151": "biolink:Protein",
+        "ComplexPortal:CPX-1": "biolink:Protein",
+        "GO:0008150": "biolink:OntologyClass",
+        "MONDO:0005091": "biolink:Disease",
+        "CHEBI:28304": "biolink:Drug",
+        "XXX:111": "biolink:NamedThing",
+    }
+    for inp, want in cases.items():
+        assert _eval(spark, C.guess_bl_category, inp) == want
+
+
+def test_is_curie_is_iri(spark):
+    assert _eval(spark, C.is_curie, "MONDO:0005091")
+    assert not _eval(spark, C.is_curie, "http://x.org/1")
+    assert _eval(spark, C.is_iri, "https://x.org/1")
+
+
+def test_get_identifier_by_prefix(spark):
+    got = _eval(
+        spark, lambda c: C.get_identifier_by_prefix(c, "HGNC:"), "MIM:1|HGNC:HGNC:5|x"
+    )
+    assert got == "HGNC:5"
+
+
+def test_scrub_whitespace(spark):
+    assert _eval(spark, C.scrub_whitespace, "a\nb\tc") == "a b c"
+
+
+def test_fix_underscore_and_xml(spark):
+    assert _eval(spark, C.fix_underscore_curie, "UO_0000022") == "UO:0000022"
+    assert _eval(spark, C.strip_xml_suffix, "PMC123.xml") == "PMC123"
+
+
+def test_content_edge_id_deterministic(spark):
+    a = _eval(spark, lambda c: C.content_edge_id(c, F.lit("B")), "A")
+    b = _eval(spark, lambda c: C.content_edge_id(c, F.lit("B")), "A")
+    assert a == b and len(a) == 64

@@ -1,0 +1,49 @@
+"""End-to-end KG pipeline vs the DuckDB oracle, mirroring the reference's
+test style (golden shapes + order-insensitive row sets, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kg_covid_19_spark.dictionaries import kg_cte_sql
+from kg_covid_19_spark.plans.pipeline import build_kg
+from kg_covid_19_spark.plans.queries import KG_ORACLES, KG_QUERIES
+
+from conftest import SF_DIR, assert_df_matches_oracle
+
+
+def test_kg_counts_and_values(spark, duck):
+    nodes, edges = build_kg(spark, SF_DIR)
+    cte = kg_cte_sql()
+    assert_df_matches_oracle(
+        nodes, duck, f"WITH {cte} SELECT id, name, category, provided_by FROM nodes"
+    )
+    assert_df_matches_oracle(
+        edges,
+        duck,
+        f"WITH {cte} SELECT subject, predicate, object, relation, provided_by FROM edges",
+    )
+
+
+def test_no_duplicate_nodes(spark):
+    # reference invariant: no duplicate node ids after merge
+    # (tests/test_drug_central.py:110-117)
+    nodes, _ = build_kg(spark, SF_DIR)
+    assert nodes.count() == nodes.select("id").distinct().count()
+
+
+def test_edge_key_unique(spark):
+    # north_rule edge dedup key (subject, predicate, object, relation)
+    _, edges = build_kg(spark, SF_DIR)
+    assert (
+        edges.count()
+        == edges.select("subject", "predicate", "object", "relation")
+        .distinct()
+        .count()
+    )
+
+
+@pytest.mark.parametrize("name", sorted(KG_QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    df = KG_QUERIES[name](spark, SF_DIR)
+    assert_df_matches_oracle(df, duck, KG_ORACLES[name])

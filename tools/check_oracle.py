@@ -1,0 +1,123 @@
+"""Driver-simulator: run __spark_entry__ exactly as the round driver does.
+
+1. smoke: entry(spark) must return a DataFrame with ≥0 rows, stable schema.
+2. for each queries()[name]: run the Spark plan at SF_DIR and the
+   oracle_sql()[name] in DuckDB over the same parquet views; compare
+   row count + column names + order-insensitive value hash (columns sorted
+   by name, rows sorted, values stringified — mirrors the driver contract).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, Decimal):
+        return f"{float(v):.10g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted("\x1f".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in canon:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from kg_covid_19_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle")
+
+    t0 = time.time()
+    flagship = entrymod.entry(spark)
+    n = flagship.count()
+    print(f"entry(): {n} rows, schema={[f.name for f in flagship.schema.fields]} "
+          f"({time.time()-t0:.1f}s)")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    fails = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        cols = [f.name for f in df.schema.fields]
+        rows = [tuple(r) for r in df.collect()]
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"  {name}: {len(rows)} rows (rows-only, no oracle) "
+                  f"[{spark_t:.1f}s]")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        duck_t = time.time() - t0
+        ok_count = len(rows) == len(orows)
+        ok_schema = sorted(cols) == sorted(ocols)
+        ok_hash = value_hash(cols, rows) == value_hash(ocols, orows)
+        status = "OK" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        print(f"  {name}: {status} spark={len(rows)} duck={len(orows)} "
+              f"schema={'OK' if ok_schema else f'{cols} vs {ocols}'} "
+              f"hash={'OK' if ok_hash else 'MISMATCH'} "
+              f"[spark {spark_t:.1f}s, duck {duck_t:.2f}s]")
+        if status == "FAIL":
+            fails.append(name)
+            if not ok_hash and ok_count and rows:
+                o_order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                s_order = sorted(range(len(cols)), key=lambda i: cols[i])
+                sset = sorted("|".join(_norm(r[i]) for i in s_order) for r in rows)
+                oset = sorted("|".join(_norm(r[i]) for i in o_order) for r in orows)
+                diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
+                for a, b in diffs:
+                    print(f"      spark: {a}\n      duck : {b}")
+    spark.stop()
+    if fails:
+        print("FAILED:", fails)
+        return 1
+    print("all queries match oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

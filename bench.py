@@ -1,0 +1,84 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline number is the end-to-end KG build (text kernel → mention
+detection → triple extraction → node/edge materialization) plus the
+flagship query set; triples/sec and docs/sec are reported alongside so the
+round-over-round trend is visible in throughput terms, matching
+BASELINE.json's metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kg_covid_19_spark.plans.pipeline import get_kg  # noqa: E402
+from kg_covid_19_spark.plans.queries import KG_QUERIES  # noqa: E402
+from kg_covid_19_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "kg_category_counts",
+    "kg_provided_by_counts",
+    "kg_one_hop",
+    "kg_two_hop",
+    "kg_druggable_two_hop",
+    "kg_drug_mentions",
+    "kg_mention_counts",
+    "kg_cooccurrence_counts",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="kg-spark-bench")
+    spark.range(1).count()  # JVM warm-up, excluded from timings
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # graph materialization (build + persist + count) — the north rule's
+    # "graph materialize" stage; queries then run against the artifact.
+    t0 = time.time()
+    nodes, edges = get_kg(spark, SF_DIR)
+    build_sec = time.time() - t0
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+
+    queries: dict[str, float] = {"kg_build": round(build_sec, 3)}
+    for name in BENCH_QUERIES:
+        fn = KG_QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).agg(F.count("*")).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = sum(queries.values())
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "n_docs": n_docs,
+                "n_nodes": n_nodes,
+                "n_edges": n_edges,
+                "triples_per_sec": round(n_edges / build_sec, 1),
+                "docs_per_sec": round(n_docs / build_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,18 +40,25 @@ from ..sources.corpus import web_pages
 
 
 def pages_with_mentions(spark: SparkSession, sf_dir: str,
-                        langs: tuple[str, ...] | None = None) -> DataFrame:
+                        langs: tuple[str, ...] | None = None,
+                        has_html: bool = False) -> DataFrame:
     """web_pages + ``curies: array<string>`` — the sorted, per-document-
     deduped canonical mention set. One narrow pass: text kernel + broadcast-
-    dictionary automaton, no shuffle."""
+    dictionary automaton, no shuffle.
+
+    ``has_html``: the driver corpus declares html as a null literal, so by
+    default the text kernel is the (JVM-side) identity and the html→text
+    Arrow stage is elided from the plan entirely; pass True for corpora
+    with raw bytes and the full extraction kernel (functions/text.py) runs.
+    """
     pages = web_pages(spark, sf_dir, langs)
     udf = make_mention_udf()
-    return (
-        pages.withColumn("text", extracted_text(F.col("text"), F.col("html")))
-        .withColumn(
-            "curies",
-            F.sort_array(F.transform(udf(F.col("text")), lambda m: m["curie"])),
-        )
+    text = (
+        extracted_text(F.col("text"), F.col("html")) if has_html else F.col("text")
+    )
+    return pages.withColumn("text", text).withColumn(
+        "curies",
+        F.sort_array(F.transform(udf(F.col("text")), lambda m: m["curie"])),
     )
 
 
@@ -63,9 +70,15 @@ def doc_mentions(spark: SparkSession, sf_dir: str,
     pre-normalized gazetteer, dictionaries.normalized_gazetteer) — the
     reference's ``seen`` set (scibite_cord.py:187-188) without any shuffle.
     """
+    # explode_outer + post-filter rather than inner explode: an inner
+    # explode makes Catalyst infer a `size(curies) > 0` pre-filter that
+    # re-evaluates the mention UDF a second time (and below the ingest
+    # repartition, i.e. at scan parallelism). explode_outer generates no
+    # such filter → the UDF runs exactly once, after the exchange.
     return (
         pages_with_mentions(spark, sf_dir, langs)
-        .select("doc_id", F.explode("curies").alias("curie"))
+        .select("doc_id", F.explode_outer("curies").alias("curie"))
+        .filter(F.col("curie").isNotNull())
     )
 
 
@@ -102,7 +115,12 @@ def build_kg(spark: SparkSession, sf_dir: str,
         F.lit(PROVIDED_BY).alias("provided_by"),
     )
 
-    mentions = pm.select("doc_id", F.explode("curies").alias("curie"))
+    # explode_outer + filter: see doc_mentions — avoids UDF re-evaluation
+    # via the explode-inferred size() pre-filter.
+    mentions = (
+        pm.select("doc_id", F.explode_outer("curies").alias("curie"))
+        .filter(F.col("curie").isNotNull())
+    )
 
     # term nodes: distinct mentioned curies (KB-sized groupBy) ⋈ broadcast
     # canonical dictionary.
@@ -126,22 +144,26 @@ def build_kg(spark: SparkSession, sf_dir: str,
 
     # co-occurrence pairs expanded row-locally from the sorted mention array
     # (i < j ⇒ s < o), then deduped on the edge key.
-    pairs = pm.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "curies",
-                        lambda a: F.transform(
-                            F.col("curies"),
-                            lambda b: F.struct(a.alias("s"), b.alias("o")),
-                        ),
-                    )
-                ),
-                lambda p: p["s"] < p["o"],
-            )
-        ).alias("p")
-    ).select(F.col("p.s").alias("subject"), F.col("p.o").alias("object"))
+    pairs = (
+        pm.select(
+            F.explode_outer(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "curies",
+                            lambda a: F.transform(
+                                F.col("curies"),
+                                lambda b: F.struct(a.alias("s"), b.alias("o")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["s"] < p["o"],
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.s").alias("subject"), F.col("p.o").alias("object"))
+    )
 
     cooc_edges = (
         pairs.dropDuplicates(["subject", "object"])
@@ -156,3 +178,41 @@ def build_kg(spark: SparkSession, sf_dir: str,
 
     edges = mention_edges.unionByName(cooc_edges)
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Materialized-graph cache. The reference never queries raw sources — it
+# queries the *merged artifact* (a Blazegraph journal loaded from merged-kg,
+# Jenkinsfile:126, query.py:8-15). Our equivalent: build the KG once per
+# (session, input), persist node/edge/mention frames, and let every query
+# plan start from the materialized graph. On a cluster this is the Iceberg
+# output table of the merge stage; locally it is a persisted DataFrame.
+# ---------------------------------------------------------------------------
+
+_KG_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_MENTION_CACHE: dict[tuple, DataFrame] = {}
+
+
+def get_kg(spark: SparkSession, sf_dir: str,
+           langs: tuple[str, ...] | None = None) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir, langs)
+    if key not in _KG_CACHE:
+        nodes, edges = build_kg(spark, sf_dir, langs)
+        nodes = nodes.persist()
+        edges = edges.persist()
+        # eager materialization: queries must read the graph, not re-run
+        # the transform per union branch.
+        nodes.count()
+        edges.count()
+        _KG_CACHE[key] = (nodes, edges)
+    return _KG_CACHE[key]
+
+
+def get_mentions(spark: SparkSession, sf_dir: str,
+                 langs: tuple[str, ...] | None = None) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, langs)
+    if key not in _MENTION_CACHE:
+        m = doc_mentions(spark, sf_dir, langs).persist()
+        m.count()
+        _MENTION_CACHE[key] = m
+    return _MENTION_CACHE[key]

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dictionaries import kg_cte_sql
-from .pipeline import build_kg, doc_mentions
+from .pipeline import get_kg, get_mentions
 
 # The hub entity for the hop queries — the reference's SARS-CoV-2 anchor
 # (queries/query-03-sars-cov-2-interactors.rq) becomes our most-canonical
@@ -34,13 +34,13 @@ HUB = "MONDO:0005091"
 
 def kg_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-01: COUNT(*) per Biolink category over merged nodes (A7)."""
-    nodes, _ = build_kg(spark, sf_dir)
+    nodes, _ = get_kg(spark, sf_dir)
     return nodes.groupBy("category").agg(F.count("*").alias("n"))
 
 
 def kg_protein_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-02 analog: category-filtered node selection."""
-    nodes, _ = build_kg(spark, sf_dir)
+    nodes, _ = get_kg(spark, sf_dir)
     return nodes.filter(F.col("category") == "biolink:Protein").select(
         "id", "name", "category"
     )
@@ -53,7 +53,7 @@ def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the hop is the union of both orientations; the label join is
     left-outer (SPARQL OPTIONAL).
     """
-    nodes, edges = build_kg(spark, sf_dir)
+    nodes, edges = get_kg(spark, sf_dir)
     cooc = edges.filter(F.col("predicate") == "biolink:correlated_with")
     nbrs = (
         cooc.filter(F.col("subject") == HUB).select(F.col("object").alias("id"))
@@ -78,7 +78,7 @@ def _undirected(cooc: DataFrame) -> DataFrame:
 def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-04: 2-hop self-join — x co-occurs with HUB, y co-occurs with x
     (J12). Returns distinct (mid, far) pairs, far ∉ {HUB}."""
-    _, edges = build_kg(spark, sf_dir)
+    _, edges = get_kg(spark, sf_dir)
     und = _undirected(edges.filter(F.col("predicate") == "biolink:correlated_with"))
     hop1 = und.filter(F.col("subject") == HUB).select(F.col("object").alias("mid"))
     hop2 = und.withColumnRenamed("subject", "mid").withColumnRenamed("object", "far")
@@ -93,7 +93,7 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_druggable_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-05: the 2-hop restricted to drug endpoints (the reference's
     druggable-genome TDL='Tclin' constraint becomes category='biolink:Drug')."""
-    nodes, edges = build_kg(spark, sf_dir)
+    nodes, edges = get_kg(spark, sf_dir)
     und = _undirected(edges.filter(F.col("predicate") == "biolink:correlated_with"))
     hop1 = und.filter(F.col("subject") == HUB).select(F.col("object").alias("mid"))
     hop2 = und.withColumnRenamed("subject", "mid").withColumnRenamed("object", "far")
@@ -112,7 +112,7 @@ def kg_druggable_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_provided_by_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-06: COUNT per provided_by over merged edges, ORDER BY DESC."""
-    _, edges = build_kg(spark, sf_dir)
+    _, edges = get_kg(spark, sf_dir)
     return (
         edges.groupBy("provided_by")
         .agg(F.count("*").alias("n"))
@@ -122,7 +122,7 @@ def kg_provided_by_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_drug_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-07 analog: documents mentioning drug entities, with labels."""
-    nodes, edges = build_kg(spark, sf_dir)
+    nodes, edges = get_kg(spark, sf_dir)
     m = edges.filter(F.col("predicate") == "biolink:mentions")
     drugs = F.broadcast(
         nodes.filter(F.col("category") == "biolink:Drug")
@@ -135,14 +135,14 @@ def kg_drug_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity document frequency — the A3/A5 degree-count analog."""
-    m = doc_mentions(spark, sf_dir)
+    m = get_mentions(spark, sf_dir)
     return m.groupBy("curie").agg(F.countDistinct("doc_id").alias("n_docs"))
 
 
 def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair co-occurrence support counts (A2 with counts kept — the scale
     variant of pair dedup: partial-agg-friendly groupBy over ≤|dict|² keys)."""
-    m = doc_mentions(spark, sf_dir)
+    m = get_mentions(spark, sf_dir)
     a = m.alias("a")
     b = m.alias("b")
     return (

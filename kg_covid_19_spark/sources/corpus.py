@@ -29,6 +29,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# sf_dir → scan split count, memoized: the .rdd conversion used to probe it
+# costs ~0.5s of driver time per call, and the answer is static per input.
+_SCAN_PARTS: dict[str, int] = {}
+
+
+def _scan_partitions(spark: SparkSession, sf_dir: str) -> int:
+    n = _SCAN_PARTS.get(sf_dir)
+    if n is None:
+        n = spark.read.parquet(f"{sf_dir}/documents.parquet").rdd.getNumPartitions()
+        _SCAN_PARTS[sf_dir] = n
+    return n
+
+
 def web_pages(spark: SparkSession, sf_dir: str,
               langs: tuple[str, ...] | None = None) -> DataFrame:
     """The engine's input table per BASELINE.json input_hint:
@@ -37,10 +50,20 @@ def web_pages(spark: SparkSession, sf_dir: str,
 
     The lang filter is applied here so Catalyst pushes it into the scan
     (on a partitioned Iceberg table this is partition pruning).
+
+    Min-parallelism policy: a scan with fewer splits than cores serializes
+    the whole narrow UDF chain onto a handful of tasks (the classic
+    small-file / single-row-group trap). If the scan is under-split we
+    repartition up to the default parallelism — a one-off shuffle of the
+    raw rows. At 100 TB the Iceberg scan has thousands of splits and this
+    is a no-op; it only fires for toy inputs and late small partitions.
     """
     docs = read_table(spark, sf_dir, "documents")
     if langs:
         docs = docs.filter(F.col("lang").isin(list(langs)))
+    target = spark.sparkContext.defaultParallelism
+    if _scan_partitions(spark, sf_dir) < target:
+        docs = docs.repartition(target)
     return docs.select(
         F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string"))
         .alias("url"),

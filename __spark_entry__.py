@@ -15,7 +15,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kg_covid_19_spark.plans.merged import MERGED_ORACLES, MERGED_QUERIES
 from kg_covid_19_spark.plans.queries import KG_ORACLES, KG_QUERIES
+from kg_covid_19_spark.plans.relational import REL_ORACLES, REL_QUERIES
+from kg_covid_19_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from kg_covid_19_spark.operators.similarity import SIM_ORACLES, SIM_QUERIES
+from kg_covid_19_spark.functions.textstats import TEXTSTATS_ORACLES, TEXTSTATS_QUERIES
+from kg_covid_19_spark.operators.multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
+from kg_covid_19_spark.operators.holdouts import HOLDOUT_ORACLES, HOLDOUT_QUERIES
+from kg_covid_19_spark.streaming.events import EVENTS_ORACLES, EVENTS_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,10 +34,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(KG_QUERIES)
+    out.update(MERGED_QUERIES)
+    out.update(REL_QUERIES)
+    out.update(DEDUP_QUERIES)
+    out.update(SIM_QUERIES)
+    out.update(TEXTSTATS_QUERIES)
+    out.update(MULTIMODAL_QUERIES)
+    out.update(HOLDOUT_QUERIES)
+    out.update(EVENTS_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(KG_ORACLES)
+    out.update(MERGED_ORACLES)
+    out.update(REL_ORACLES)
+    out.update(DEDUP_ORACLES)
+    out.update(SIM_ORACLES)
+    out.update(TEXTSTATS_ORACLES)
+    out.update(MULTIMODAL_ORACLES)
+    out.update(HOLDOUT_ORACLES)
+    out.update(EVENTS_ORACLES)
     return out

@@ -88,6 +88,11 @@ DOC_PREFIX = "CORD:"
 PROVIDED_BY = "documents"
 
 
+SAME_AS_PREDICATE = "biolink:same_as"
+SAME_AS_RELATION = "skos:exactMatch"
+ONTO_PROVIDED_BY = "ontology"
+
+
 def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -195,4 +200,57 @@ cooc_edges AS (
   FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id AND a.curie < b.curie
 ),
 edges AS (SELECT * FROM mention_edges UNION ALL SELECT * FROM cooc_edges)
+""".strip()
+
+
+def guess_category_case_sql(col: str) -> str:
+    """ANSI-SQL rendering of guess_bl_category (transform_utils.py:185-202):
+    CURIE prefix → Biolink category, default biolink:NamedThing."""
+    whens = "\n    ".join(
+        f"WHEN split_part({col}, ':', 1) = {_q(p)} THEN {_q(c)}"
+        for p, c in PREFIX_CATEGORY
+    )
+    return f"CASE {whens}\n    ELSE 'biolink:NamedThing' END"
+
+
+def merged_cte_sql(langs: tuple[str, ...] | None = None) -> str:
+    """kg_cte_sql + a second source ('ontology': gazetteer entities and
+    SSSOM same_as mapping edges, analog of ontology_transform.py) + the
+    merge.yaml union-with-provenance semantics (merge_kg.py:22-34):
+    node fusion on id with provided_by accumulation, edge dedup on
+    (subject, predicate, object, relation)."""
+    return f"""
+{kg_cte_sql(langs)},
+onto_entity_nodes AS (
+  SELECT curie AS id, name, category, 'ontology' AS provided_by FROM gaz_nodes
+),
+onto_xref_nodes AS (
+  -- nodes for original (pre-normalization) CURIEs; category guessed from
+  -- the prefix (transform_utils.py:185-202), name unknown
+  SELECT DISTINCT subject_id AS id, CAST(NULL AS VARCHAR) AS name,
+         {guess_category_case_sql('subject_id')} AS category,
+         'ontology' AS provided_by
+  FROM sssom
+),
+onto_nodes AS (SELECT * FROM onto_entity_nodes UNION ALL SELECT * FROM onto_xref_nodes),
+onto_edges AS (
+  -- exact-match mapping edges (ontology_transform.py:95-110; the uuid1 edge
+  -- id becomes a content hash, SURVEY.md C14)
+  SELECT subject_id AS subject, 'biolink:same_as' AS predicate,
+         object_id AS object, 'skos:exactMatch' AS relation,
+         'ontology' AS provided_by
+  FROM sssom
+),
+all_nodes AS (SELECT * FROM nodes UNION ALL SELECT * FROM onto_nodes),
+all_edges AS (SELECT * FROM edges UNION ALL SELECT * FROM onto_edges),
+merged_nodes AS (
+  SELECT id, min(name) AS name, min(category) AS category,
+         string_agg(DISTINCT provided_by, '|' ORDER BY provided_by) AS provided_by
+  FROM all_nodes GROUP BY id
+),
+merged_edges AS (
+  SELECT subject, predicate, object, relation,
+         string_agg(DISTINCT provided_by, '|' ORDER BY provided_by) AS provided_by
+  FROM all_edges GROUP BY subject, predicate, object, relation
+)
 """.strip()

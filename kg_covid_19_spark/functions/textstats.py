@@ -1,0 +1,162 @@
+"""Text-analysis column functions for the training-data pipeline:
+token counting, quality scoring, n-gram language ID, content
+fingerprinting. All JVM-side expressions (whole-stage codegen) with exact
+DuckDB oracles — these run per document over the whole corpus, so the hot
+path must never touch Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.corpus import read_table
+
+# marker stopwords per language (deterministic toy lists — the n-gram
+# heuristic shape; real lists would be broadcast the same way)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "das"],
+    "fr": ["le", "la", "les"],
+    "es": ["el", "los", "una"],
+}
+STOPWORDS = ["the", "a"]
+
+
+def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex (BPE-ish boundary) tokens,
+    chars, distinct tokens, type-token ratio."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    rtoks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens_ws"),
+        F.size(rtoks).alias("n_tokens_re"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+    )
+
+
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length gate × stopword-ratio closeness — the
+    C4/Gopher-style heuristic shape, deterministic arithmetic."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = stop_hits / n
+    len_gate = F.least(n / F.lit(50.0), F.lit(1.0))
+    score = F.round(len_gate * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.1))), 6)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: argmax marker-token hits per language, 'und' on a
+    no-marker tie. Deterministic tie-break: higher count wins, then
+    language code ascending."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    counts = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*marks))))
+        for lang, marks in sorted(LANG_MARKERS.items())
+    ]
+    # build (count, lang) structs → array_max picks (max count, max lang);
+    # to make lang ASC the tiebreak, order by (count, reversed-lang) —
+    # simpler: greatest count, then first lang in sorted order achieving it.
+    best = None
+    best_lang = F.lit("und")
+    zero = F.lit(0)
+    for lang, cnt in counts:
+        if best is None:
+            best, best_lang = cnt, F.when(cnt > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            best_lang = F.when(cnt > best, F.lit(lang)).otherwise(best_lang)
+            best = F.greatest(best, cnt)
+    _ = zero
+    return docs.select(
+        "doc_id", F.col("lang").alias("declared_lang"), best_lang.alias("pred_lang")
+    )
+
+
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw md5 plus an order-insensitive fingerprint
+    (md5 of the sorted distinct token set) — catches shuffled duplicates
+    that exact hashing misses."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp_set"),
+    )
+
+
+def _markers_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+
+_LANG_CASE = ""
+
+
+def _lang_pred_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    cnt = {
+        l: (
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> list_contains({_markers_sql(l)}, t)))"
+        )
+        for l in langs
+    }
+    # same fold as txt_lang_id: first lang in sorted order wins ties
+    expr = f"CASE WHEN {cnt[langs[0]]} > 0 THEN '{langs[0]}' ELSE 'und' END"
+    best = cnt[langs[0]]
+    for l in langs[1:]:
+        expr = f"CASE WHEN {cnt[l]} > ({best}) THEN '{l}' ELSE ({expr}) END"
+        best = f"greatest({best}, {cnt[l]})"
+    return expr
+
+
+TEXTSTATS_ORACLES = {
+    "txt_stats": """
+SELECT doc_id, length(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_tokens_ws,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens_re,
+  len(list_distinct(string_split(text, ' '))) AS n_types,
+  round(len(list_distinct(string_split(text, ' '))) /
+        CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+FROM documents
+""",
+    "txt_quality": """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  round(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) /
+        CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+  round(least(len(string_split(text, ' ')) / 50.0, 1.0) *
+        (1.0 - abs(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) /
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.1)), 6) AS quality
+FROM documents
+""",
+    "txt_lang_id": f"""
+SELECT doc_id, lang AS declared_lang, {_lang_pred_sql()} AS pred_lang
+FROM documents
+""",
+    "txt_fingerprint": """
+SELECT doc_id, md5(text) AS fp_exact,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_set
+FROM documents
+""",
+}
+
+TEXTSTATS_QUERIES = {
+    "txt_stats": txt_stats,
+    "txt_quality": txt_quality,
+    "txt_lang_id": txt_lang_id,
+    "txt_fingerprint": txt_fingerprint,
+}

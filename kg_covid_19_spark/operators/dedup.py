@@ -1,0 +1,355 @@
+"""Document deduplication suite — the training-data-pipeline operators.
+
+Large-scale corpus construction needs dedup as a first-class stage. All
+variants here are pure DataFrame algebra over deterministic hashes (md5 /
+60-bit hex-int), so every one has an exact DuckDB oracle and is reproducible
+at any parallelism:
+
+* exact dedup           — hash-groupBy on the full text
+* MinHash + LSH banding — shingle → per-seed min-hash signature → band
+                          bucket join → candidate pairs
+* n-gram Jaccard        — exact shingle-set similarity over LSH candidates
+* SimHash               — 16-bit sign-aggregated fingerprint, equal-hash
+                          clusters
+
+Scale notes (100 TB): the signature build is a narrow map + one groupBy per
+doc (partial-agg friendly); the LSH join shuffles only (band_key → doc_id)
+pairs — a tiny fraction of corpus bytes; candidate verification joins are
+bounded by bucket sizes, and a hot bucket (boilerplate pages) is exactly
+the AQE-skew-join case. Brute-force all-pairs never happens.
+
+Because the driver corpus has no natural duplicates, ``dedup_corpus``
+deterministically plants them: every doc_id ≡ 0 (mod 10) gets an exact copy
+(+1_000_000) and every doc_id ≡ 1 (mod 10) a near copy with the last token
+dropped (+2_000_000). The oracle CTE plants the identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.corpus import read_table
+
+N_HASHES = 8
+BAND_SIZE = 2  # → 4 bands of 2 hashes
+
+EXACT_OFFSET = 1_000_000
+NEAR_OFFSET = 2_000_000
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted exact copies ∪ planted near copies."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+        F.regexp_replace("text", r" [^ ]+$", "").alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+DEDUP_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {NEAR_OFFSET} AS doc_id,
+         regexp_replace(text, ' [^ ]+$', '') AS text
+  FROM documents WHERE doc_id % 10 = 1
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) groupBy; clusters of size > 1 with the
+    representative (min doc_id) kept — the 'first wins' survivor rule made
+    deterministic."""
+    return (
+        dedup_corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def _shingles(text: Column) -> Column:
+    """Distinct 3-token shingles of a single-space-tokenized text."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    mk = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.array_distinct(F.when(n >= 3, mk).otherwise(F.array()))
+
+
+SHINGLE_SQL = (
+    "list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+    "|| ' ' || string_split(text, ' ')[i+2]) ELSE [] END)"
+)
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles."""
+    return (
+        dedup_corpus(spark, sf_dir)
+        .select("doc_id", F.explode_outer(_shingles(F.col("text"))).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: h0..h{k-1} = min over shingles of md5('<seed>:'||s).
+
+    min(md5) over a set is permutation-MinHash with the hash family indexed
+    by seed; lexicographic min on hex strings is total and engine-agnostic.
+    """
+    sh = doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_cols() -> list[tuple[int, Column]]:
+    out = []
+    for b in range(N_HASHES // BAND_SIZE):
+        parts = [F.col(f"h{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+        out.append((b, F.md5(F.concat_ws("|", *parts))))
+    return out
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band bucket → distinct (a, b) pairs,
+    a < b. The join key is (band_idx, band_key) — bucket-local self-join."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), c.alias("key"))
+                    for b, c in _band_cols()
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def neardup_pairs(spark: SparkSession, sf_dir: str,
+                  threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
+
+    |A∩B| via a shingle-equijoin restricted to candidate pairs; |A∪B| =
+    |A|+|B|−|A∩B|. Jaccard is exact rational arithmetic → deterministic.
+    """
+    cand = minhash_candidates(spark, sf_dir)
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("b") == F.col("zb.doc_id"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _tok_hash(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5 — identical to
+    DuckDB's ('0x' || substr(md5(x),1,15))::UBIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit b is the sign of
+    Σ_tokens (±1 from hash bit b)."""
+    toks = (
+        dedup_corpus(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .withColumn("h", _tok_hash(F.col("tok")))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing an identical simhash (the bucketing primitive; hamming-
+    ball expansion is a k-probe over bit-flipped keys, same plan shape)."""
+    return (
+        simhash(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _sig_sql() -> str:
+    mins = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(N_HASHES)
+    )
+    return f"""
+shingled AS (
+  SELECT doc_id, unnest({SHINGLE_SQL}) AS shingle FROM corpus
+),
+sigs AS (
+  SELECT doc_id,
+    {mins}
+  FROM shingled GROUP BY doc_id
+)
+""".strip()
+
+
+def _bands_sql() -> str:
+    rows = []
+    for b in range(N_HASHES // BAND_SIZE):
+        parts = " || '|' || ".join(
+            f"h{b * BAND_SIZE + i}" for i in range(BAND_SIZE)
+        )
+        rows.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sigs")
+    return "bands AS (\n" + "\nUNION ALL\n".join(rows) + "\n)"
+
+
+def _candidates_sql() -> str:
+    return f"""
+{DEDUP_CORPUS_CTE},
+{_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+""".strip()
+
+
+DEDUP_ORACLES = {
+    "doc_dedup_exact": f"""
+WITH {DEDUP_CORPUS_CTE}
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+""",
+    "doc_minhash_candidates": f"""
+WITH {_candidates_sql()}
+SELECT a, b FROM cand
+""",
+    "doc_neardup_pairs": f"""
+WITH {_candidates_sql()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingled sa ON c.a = sa.doc_id
+  JOIN shingled sb ON c.b = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON i.a = za.doc_id
+JOIN sizes zb ON i.b = zb.doc_id
+WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
+""",
+    "doc_simhash_clusters": f"""
+WITH {DEDUP_CORPUS_CTE},
+toks AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM corpus)
+),
+sums AS (
+  SELECT doc_id,
+    {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(SIMHASH_BITS))}
+  FROM toks GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+    CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM sums
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM sh GROUP BY simhash HAVING count(*) > 1
+""",
+}
+
+DEDUP_QUERIES = {
+    "doc_dedup_exact": exact_dup_clusters,
+    "doc_minhash_candidates": minhash_candidates,
+    "doc_neardup_pairs": neardup_pairs,
+    "doc_simhash_clusters": simhash_clusters,
+}

@@ -1,0 +1,86 @@
+"""Merged-graph query layer: the merge stage wired end-to-end.
+
+documents source (plans/pipeline.build_kg) + ontology source
+(sources/ontology) → merge (operators/merge) → merged nodes/edges/stats,
+each with a DuckDB oracle over dictionaries.merged_cte_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dictionaries import merged_cte_sql
+from ..operators.merge import graph_stats, merge_edges, merge_nodes, salted_node_fusion
+from ..sources.ontology import ontology_edges, ontology_nodes
+from .pipeline import get_kg
+
+_MERGED_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def get_merged(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MERGED_CACHE:
+        doc_nodes, doc_edges = get_kg(spark, sf_dir)
+        nodes = merge_nodes([doc_nodes, ontology_nodes(spark)]).persist()
+        edges = merge_edges([doc_edges, ontology_edges(spark)]).persist()
+        nodes.count()
+        edges.count()
+        _MERGED_CACHE[key] = (nodes, edges)
+    return _MERGED_CACHE[key]
+
+
+def kg_merged_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _ = get_merged(spark, sf_dir)
+    return nodes
+
+
+def kg_merged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = get_merged(spark, sf_dir)
+    return edges
+
+
+def kg_merged_nodes_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as kg_merged_nodes via the explicit two-phase salted
+    fusion (skew path) — the oracle equality IS the correctness proof that
+    salting preserves semantics."""
+    doc_nodes, _ = get_kg(spark, sf_dir)
+    return salted_node_fusion([doc_nodes, ontology_nodes(spark)])
+
+
+def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = get_merged(spark, sf_dir)
+    return graph_stats(nodes, edges)
+
+
+MERGED_QUERIES = {
+    "kg_merged_nodes": kg_merged_nodes,
+    "kg_merged_edges": kg_merged_edges,
+    "kg_merged_nodes_salted": kg_merged_nodes_salted,
+    "kg_graph_stats": kg_graph_stats,
+}
+
+_CTE = merged_cte_sql()
+
+MERGED_ORACLES = {
+    "kg_merged_nodes": f"""
+WITH {_CTE}
+SELECT id, name, category, provided_by FROM merged_nodes
+""",
+    "kg_merged_edges": f"""
+WITH {_CTE}
+SELECT subject, predicate, object, relation, provided_by FROM merged_edges
+""",
+    "kg_merged_nodes_salted": f"""
+WITH {_CTE}
+SELECT id, name, category, provided_by FROM merged_nodes
+""",
+    "kg_graph_stats": f"""
+WITH {_CTE}
+SELECT 'node' AS kind, category AS facet, provided_by, count(*) AS n
+FROM merged_nodes GROUP BY category, provided_by
+UNION ALL
+SELECT 'edge' AS kind, predicate AS facet, provided_by, count(*) AS n
+FROM merged_edges GROUP BY predicate, provided_by
+""",
+}

@@ -1,0 +1,329 @@
+"""Relational operator coverage — SURVEY.md §2 operators that the KG
+pipeline doesn't already exercise, mapped onto the driver's TPC-H-ish
+tables so each gets an independent DuckDB oracle.
+
+Every query names the §2 operator(s) it covers and the reference code the
+semantics come from. Aggregates on money columns go through DECIMAL so the
+result is exact and order-independent (float sums drift across partition
+orders; decimals don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.corpus import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def rel_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 species/taxon isin filter + A7 count (string_ppi.py:78-81)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "N"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def rel_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 order-insensitive entity-type pair filter (pharmgkb.py:44-47):
+    {Entity1, Entity2} == {target set} via array_sort equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    pair = F.array_sort(F.array("l_returnflag", "l_linestatus"))
+    return (
+        li.filter(pair == F.array(F.lit("F"), F.lit("R")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def rel_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 chained broadcast dimension joins (string_ppi.py:61-96):
+    fact ⋈ supplier ⋈ nation ⋈ region, dims explicitly broadcast; exact
+    decimal revenue per region."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region"))
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def rel_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J6 left join + coalesce-on-miss (normalize_utils.py:7-46 /
+    string_ppi.py:225-230): customers annotated with order count, 0 on miss."""
+    cust = _t(spark, sf_dir, "customer")
+    counts = (
+        _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    )
+    return cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+    )
+
+
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 left-anti join (make_holdouts.py:184-191 negative-edge filter):
+    customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def rel_degree_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/J10 degree counts (make_holdouts.py:270-285)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def rel_window_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/A1 deterministic first-wins: the reference's seen-set emit-once
+    becomes row_number over an explicit priority (SURVEY.md §7.4 risk 1) —
+    each customer's highest-value order, orderkey as tiebreak."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/L1 global ORDER BY DESC + LIMIT (query-06, make_holdouts head(n))."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def rel_keep_false_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 drop_duplicates(keep=False) (make_holdouts.py:178-181): keep only
+    (partkey, suppkey) pairs that occur exactly once."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") == 1)
+        .select("l_partkey", "l_suppkey")
+    )
+
+
+def rel_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/E2 pipe-split + explode (drug_central.py:167-195): word counts
+    over split part names."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def rel_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 arrays_zip multi-list explode (drug_central ACCESSION×GENE×TDL
+    zip, drug_central.py:96-146): zip part-name words with type words,
+    null-padded like the reference's broadcast-repeat rule handles ragged
+    lists."""
+    part = _t(spark, sf_dir, "part")
+    z = F.arrays_zip(F.split("p_name", " "), F.split("p_type", " "))
+    return (
+        part.select(F.explode(z).alias("z"))
+        .select(F.col("z")["0"].alias("name_word"), F.col("z")["1"].alias("type_word"))
+        .groupBy("name_word", "type_word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def rel_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/A9 heterogeneous union with provenance (merge.yaml semantics) on
+    relational data: customer+supplier per nation with source accumulation."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return (
+        cust.unionByName(sup)
+        .groupBy("nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.concat_ws("|", F.sort_array(F.collect_set("src"))).alias("sources"),
+        )
+    )
+
+
+def rel_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape aggregation (the canonical OLAP pattern; reference has
+    A7-style counts only). DECIMAL arithmetic → exact, order-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (one - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (one - disc) * (one + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def rel_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 natural extension: cube over (returnflag, linestatus) counts
+    (SURVEY.md §2.4 note)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+REL_QUERIES = {
+    "rel_filter_in": rel_filter_in,
+    "rel_pair_filter": rel_pair_filter,
+    "rel_broadcast_dims": rel_broadcast_dims,
+    "rel_left_join_coalesce": rel_left_join_coalesce,
+    "rel_anti_join": rel_anti_join,
+    "rel_degree_count": rel_degree_count,
+    "rel_window_first": rel_window_first,
+    "rel_topk": rel_topk,
+    "rel_keep_false_dedup": rel_keep_false_dedup,
+    "rel_explode_split": rel_explode_split,
+    "rel_zip_explode": rel_zip_explode,
+    "rel_union_provenance": rel_union_provenance,
+    "rel_tpch_q1": rel_tpch_q1,
+    "rel_cube_counts": rel_cube_counts,
+}
+
+REL_ORACLES = {
+    "rel_filter_in": """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE l_returnflag IN ('A', 'N') GROUP BY l_returnflag
+""",
+    "rel_pair_filter": """
+SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+WHERE list_sort([l_returnflag, l_linestatus]) = ['F', 'R']
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_broadcast_dims": """
+SELECT r_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "rel_left_join_coalesce": """
+SELECT c_custkey, c_name, coalesce(cnt, 0) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+""",
+    "rel_anti_join": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    "rel_degree_count": """
+SELECT o_custkey, count(*) AS degree FROM orders GROUP BY o_custkey
+""",
+    "rel_window_first": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    "rel_topk": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+    "rel_keep_false_dedup": """
+SELECT l_partkey, l_suppkey FROM lineitem
+GROUP BY l_partkey, l_suppkey HAVING count(*) = 1
+""",
+    "rel_explode_split": """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+) GROUP BY word
+""",
+    "rel_zip_explode": """
+SELECT name_word, type_word, count(*) AS n FROM (
+  SELECT z[1] AS name_word, z[2] AS type_word FROM (
+    SELECT unnest(list_zip(string_split(p_name, ' '),
+                           string_split(p_type, ' '))) AS z
+    FROM part
+  )
+) GROUP BY name_word, type_word
+""",
+    "rel_union_provenance": """
+SELECT nationkey, count(*) AS n,
+       string_agg(DISTINCT src, '|' ORDER BY src) AS sources
+FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+) GROUP BY nationkey
+""",
+    "rel_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) *
+                 (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_cube_counts": """
+SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+}

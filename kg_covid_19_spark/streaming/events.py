@@ -1,0 +1,137 @@
+"""Event-stream analytics — Structured Streaming surface.
+
+The reference is a monthly batch build with no streaming semantics
+(SURVEY.md §2.9), so this module is the engine's forward-looking surface
+over the driver's ``events`` table: windowed aggregation with a watermark
+and gap-based sessionization. Each operator exists twice with identical
+semantics:
+
+* a batch DataFrame plan (oracle-checked against DuckDB), and
+* a streaming plan (``readStream`` → watermark → window → memory sink)
+  whose output the tests assert equals the batch result — the
+  batch/streaming unification Spark's model promises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.corpus import read_table
+
+WINDOW = "5 minutes"
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+def evt_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window per event_type: count + exact sum(value)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def evt_windowed_counts_stream(spark: SparkSession, sf_dir: str,
+                               query_name: str = "evt_stream") -> DataFrame:
+    """The same aggregation as a streaming query over a file source with a
+    10-minute watermark, drained synchronously into a memory sink."""
+    schema = _events(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        # the file source needs a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
+        # cast preserves wall-clock values
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the guide's lag+cumsum pattern): a new
+    session starts when a user is idle > 30 minutes."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; NTZ→epoch goes via timestamp
+    # (session TZ pinned to UTC, so this equals DuckDB's epoch(ts))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            epoch - F.lag(epoch).over(w) > SESSION_GAP_MIN * 60,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return gapped.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+EVENTS_ORACLES = {
+    "evt_windowed_counts": """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "evt_sessions": """
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+}
+
+EVENTS_QUERIES = {
+    "evt_windowed_counts": evt_windowed_counts,
+    "evt_sessions": evt_sessions,
+}

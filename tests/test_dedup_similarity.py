@@ -1,0 +1,76 @@
+"""Dedup suite + similarity search semantics tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg_covid_19_spark.operators.dedup import (
+    EXACT_OFFSET,
+    NEAR_OFFSET,
+    exact_dup_clusters,
+    minhash_candidates,
+    neardup_pairs,
+    simhash_clusters,
+)
+from kg_covid_19_spark.operators.similarity import (
+    TOP_K,
+    emb_knn_bruteforce,
+    emb_lsh_ann,
+)
+
+from conftest import SF_DIR
+
+
+def test_exact_dup_finds_planted_copies(spark):
+    clusters = exact_dup_clusters(spark, SF_DIR).collect()
+    # every planted exact copy (doc_id % 10 == 0) must be in a cluster
+    n_planted = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .count()
+    )
+    assert sum(c.n_docs for c in clusters) >= 2 * n_planted * 0.9
+    # representative is the original (min doc_id), never the planted copy
+    assert all(c.keep_doc_id < EXACT_OFFSET for c in clusters)
+
+
+def test_minhash_recall_of_planted_neardups(spark):
+    cand = {(r.a, r.b) for r in minhash_candidates(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    planted = [
+        r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 1).select("doc_id").collect()
+    ]
+    # a near copy differs by one trailing token → jaccard ≈ 1 → every band
+    # should collide unless the doc is tiny; demand high recall
+    hit = sum(1 for d in planted if (d, d + NEAR_OFFSET) in cand)
+    assert hit / max(len(planted), 1) >= 0.8
+
+
+def test_neardup_pairs_jaccard_bounds(spark):
+    rows = neardup_pairs(spark, SF_DIR).collect()
+    assert rows, "planted near-dups must be found"
+    assert all(0.5 <= r.jaccard <= 1.0 for r in rows)
+
+
+def test_simhash_clusters_contain_exact_dups(spark):
+    # exact duplicates have identical token sets → identical simhash
+    clusters = simhash_clusters(spark, SF_DIR)
+    assert clusters.count() > 0
+
+
+def test_lsh_ann_subset_of_bruteforce_space(spark):
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in emb_knn_bruteforce(spark, SF_DIR).collect()
+    }
+    lsh = emb_lsh_ann(spark, SF_DIR).collect()
+    assert len({r.query_id for r in lsh}) >= 1
+    # every LSH hit's similarity can't exceed the brute-force top-1 for
+    # that query, and ranks are ≤ TOP_K
+    assert all(r.rank <= TOP_K for r in lsh)
+    top1 = {}
+    for (q, _n), s in brute.items():
+        top1[q] = max(top1.get(q, -2.0), s)
+    for r in lsh:
+        if r.query_id in top1:
+            assert r.sim <= top1[r.query_id] + 1e-9

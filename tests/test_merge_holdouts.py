@@ -1,0 +1,73 @@
+"""Merge-stage and holdout semantics (reference analog assertions:
+tests/test_holdouts.py:60-120, merge node/edge-count style checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg_covid_19_spark.operators.holdouts import (
+    edge_splits,
+    holdout_negative_edges,
+)
+from kg_covid_19_spark.operators.merge import merge_nodes, salted_node_fusion
+from kg_covid_19_spark.plans.merged import get_merged
+from kg_covid_19_spark.sources.kgx import read_kgx, write_kgx
+
+from conftest import SF_DIR
+
+
+def test_salted_fusion_equals_plain(spark):
+    frames = [
+        spark.createDataFrame(
+            [("A", "a", "c1", "s1"), ("A", None, "c1", "s2"), ("B", "b", "c2", "s1")],
+            "id string, name string, category string, provided_by string",
+        ),
+        spark.createDataFrame(
+            [("A", "z", "c0", "s3")],
+            "id string, name string, category string, provided_by string",
+        ),
+    ]
+    plain = {tuple(r) for r in merge_nodes(frames).collect()}
+    salted = {tuple(r) for r in salted_node_fusion(frames).collect()}
+    assert plain == salted
+    assert ("A", "a", "c0", "s1|s2|s3") in plain
+
+
+def test_merged_no_duplicate_ids_or_edge_keys(spark):
+    nodes, edges = get_merged(spark, SF_DIR)
+    assert nodes.count() == nodes.select("id").distinct().count()
+    key = ["subject", "predicate", "object", "relation"]
+    assert edges.count() == edges.select(*key).distinct().count()
+
+
+def test_splits_partition_all_edges(spark):
+    splits = edge_splits(spark, SF_DIR)
+    _, edges = get_merged(spark, SF_DIR)
+    assert splits.count() == edges.count()
+    by = dict(
+        (r.split, r.n)
+        for r in splits.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(by.values())
+    # hash split targets 0.8/0.1/0.1 (reference fraction assertion)
+    assert 0.7 <= by.get("train", 0) / total <= 0.9
+    assert by.get("valid", 0) > 0 and by.get("test", 0) > 0
+
+
+def test_negatives_disjoint_from_positives(spark):
+    negs = holdout_negative_edges(spark, SF_DIR)
+    _, edges = get_merged(spark, SF_DIR)
+    overlap = negs.join(
+        edges.select("subject", "object").distinct(), ["subject", "object"]
+    ).count()
+    assert overlap == 0 and negs.count() == 100
+
+
+def test_kgx_roundtrip(spark, tmp_path):
+    nodes, edges = get_merged(spark, SF_DIR)
+    out = str(tmp_path / "kgx")
+    write_kgx(nodes.limit(50), edges.limit(50), out, single_file=True)
+    rn, re_ = read_kgx(spark, out)
+    assert rn.count() == 50 and re_.count() == 50
+    assert rn.columns == ["id", "name", "category", "provided_by"]
+    assert re_.columns == ["subject", "predicate", "object", "relation", "provided_by"]

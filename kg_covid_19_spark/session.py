@@ -17,8 +17,24 @@ test scale:
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for worker shipping (the spark-submit --py-files
+    artifact, north_rule). Rebuilt per session start; a few KB."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join("/tmp", f"kg_covid_19_spark-{os.getpid()}.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    return out
 
 
 def get_spark(
@@ -53,4 +69,10 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # ship the package to executor Python workers — on a cluster this is
+    # `spark-submit --py-files kg_covid_19_spark.zip`; addPyFile is the
+    # session-scoped equivalent and makes UDF closures importable no
+    # matter the caller's working directory.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

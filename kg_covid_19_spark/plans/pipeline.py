@@ -35,7 +35,7 @@ from ..dictionaries import (
     normalized_gazetteer,
 )
 from ..functions.text import extracted_text
-from ..operators.mentions import make_mention_udf
+from ..operators.mentions import make_curie_udf
 from ..sources.corpus import web_pages
 
 
@@ -52,13 +52,12 @@ def pages_with_mentions(spark: SparkSession, sf_dir: str,
     with raw bytes and the full extraction kernel (functions/text.py) runs.
     """
     pages = web_pages(spark, sf_dir, langs)
-    udf = make_mention_udf()
+    udf = make_curie_udf()
     text = (
         extracted_text(F.col("text"), F.col("html")) if has_html else F.col("text")
     )
     return pages.withColumn("text", text).withColumn(
-        "curies",
-        F.sort_array(F.transform(udf(F.col("text")), lambda m: m["curie"])),
+        "curies", F.sort_array(udf(F.col("text")))
     )
 
 

@@ -39,7 +39,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from kg_covid_19_spark.session import get_spark
-from kg_covid_19_spark.operators.mentions import make_mention_udf
+from kg_covid_19_spark.operators.mentions import make_curie_udf
 
 cores = {cores}
 rep = {rep}
@@ -52,9 +52,8 @@ docs = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         .repartition(parts)
         .crossJoin(spark.range(rep).toDF("rep"))
         .select((F.col("doc_id") * rep + F.col("rep")).alias("doc_id"), "text"))
-udf = make_mention_udf()
-pm = docs.withColumn("curies",
-    F.sort_array(F.transform(udf(F.col("text")), lambda m: m["curie"])))
+udf = make_curie_udf()
+pm = docs.withColumn("curies", F.sort_array(udf(F.col("text"))))
 mentions = (pm.select("doc_id", F.explode_outer("curies").alias("curie"))
               .filter(F.col("curie").isNotNull()))
 pairs = (pm.select(F.explode_outer(F.filter(F.flatten(F.transform("curies",

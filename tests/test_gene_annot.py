@@ -1,0 +1,52 @@
+"""GPI/GPA source parity vs the reference goldens
+(tests/test_sars_cov_2_gene_annot.py:29-90)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kg_covid_19_spark.sources.gene_annot import gene_annot_transform, gpi_nodes
+
+REF = "/root/reference/tests/resources"
+GPI = f"{REF}/uniprot_sars-cov-2_SNIPPET.gpi"
+GPA = f"{REF}/uniprot_sars-cov-2_SNIPPET.gpa"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures not available"
+)
+
+
+def test_gpi_node_golden(spark):
+    rows = {r.id: list(r) for r in gpi_nodes(spark, GPI).collect()}
+    # golden from tests/test_sars_cov_2_gene_annot.py:49-66
+    assert rows["UniProtKB:P0DTD2"] == [
+        "UniProtKB:P0DTD2", "P0DTD2", "biolink:Protein", "Protein 9b", "",
+        "NCBITaxon:2697049", "PR:000050272|UniProtKB:P0DTD1-PRO_0000449637",
+        "sars_cov_2_gene_annot",
+    ]
+
+
+def test_gpa_edge_golden(spark):
+    _, edges = gene_annot_transform(spark, GPI, GPA)
+    rows = [list(r) for r in edges.collect()]
+    # golden from tests/test_sars_cov_2_gene_annot.py:70-90
+    assert [
+        "UniProtKB:P0DTC1", "biolink:enables", "GO:0003723", "RO:0002327",
+        "sars_cov_2_gene_annot", "biolink:Association", "GO_REF:0000043",
+        "ECO:0000322", "UniProtKB-KW:KW-0694", "", "20200321", "UniProt",
+        "", "go_evidence=IEA",
+    ] in rows
+
+
+def test_bare_endpoint_nodes_guessed(spark):
+    nodes, edges = gene_annot_transform(spark, GPI, GPA)
+    by_id = {r.id: r for r in nodes.collect()}
+    # every GPA endpoint has a node; GO endpoints are OntologyClass
+    for r in edges.collect():
+        assert r.subject in by_id and r.object in by_id
+        if r.object.startswith("GO:"):
+            assert by_id[r.object].category == "biolink:OntologyClass"
+    # no duplicate ids
+    assert nodes.count() == nodes.select("id").distinct().count()

@@ -1,0 +1,71 @@
+"""grlc .rq plumbing parity (reference tests/test_query.py:23-66)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from kg_covid_19_spark.plans.queries import KG_QUERIES
+from kg_covid_19_spark.plans.rq import (
+    RQ_TO_PLAN,
+    parse_query_rq,
+    result_bindings_to_df,
+    result_dict_to_tsv,
+)
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available"
+)
+
+
+def test_parse_query_rq_goldens():
+    q = parse_query_rq(f"{REF}/tests/resources/query/test_template.yaml")
+    assert q["title"] == "some title"
+    assert q["description"] == "what is it"
+    assert q["endpoint"] == "http://zombo.com"
+    assert q["query"] == (
+        "SELECT (COUNT(?v2) AS ?v1) ?v0\nWHERE {\n"
+        "  ?v2 <https://w3id.org/biolink/vocab/category> ?v0\n} GROUP BY ?v0\n"
+    )
+
+
+def test_all_shipped_rq_templates_parse_and_map():
+    qdir = f"{REF}/queries"
+    rq_files = sorted(f for f in os.listdir(qdir) if f.endswith(".rq"))
+    assert rq_files == sorted(RQ_TO_PLAN)
+    for f in rq_files:
+        parsed = parse_query_rq(os.path.join(qdir, f))
+        assert parsed["query"].strip(), f
+        assert RQ_TO_PLAN[f] in KG_QUERIES
+
+
+RESULT_DICT = {
+    "head": {"vars": ["v1", "v0"]},
+    "results": {
+        "bindings": [
+            {"v1": {"value": "42"}, "v0": {"value": "disease"}},
+            {"v1": {"value": "10384"}, "v0": {"value": "human_phenotype"}},
+            {"v1": {"value": "7"}},  # missing binding → ERROR
+        ]
+    },
+}
+
+
+def test_result_dict_to_tsv(tmp_path):
+    out = str(tmp_path / "out.tsv")
+    result_dict_to_tsv(RESULT_DICT, out)
+    df = pd.read_csv(out, sep="\t")
+    assert df.shape == (3, 2)
+    assert list(df.columns) == ["v1", "v0"]
+    assert list(df.iloc[1]) == [10384, "human_phenotype"]
+    assert df.iloc[2]["v0"] == "ERROR"
+
+
+def test_result_bindings_to_df(spark):
+    df = result_bindings_to_df(spark, RESULT_DICT)
+    assert df.columns == ["v1", "v0"]
+    assert df.count() == 3

@@ -129,6 +129,143 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_THRESHOLD = 0.4  # sf-series embeddings have no planted dups; 0.4
+                         # yields a non-trivial pair set (59 exact at sf0.01)
+N_TABLES = 2             # OR-amplification: 2 independent 4-plane tables
+PLANES_PER_TABLE = 4
+NLIST = 16               # IVF coarse lists
+NPROBE = 4               # IVF probed lists per query
+
+
+def _table_bucket(v: Column, table: int) -> Column:
+    """4-bit sign-projection key for hash table `table` (planes
+    table*4 .. table*4+3)."""
+    key = F.lit(0)
+    for k in range(PLANES_PER_TABLE):
+        plane = PLANES[table * PLANES_PER_TABLE + k]
+        arr = F.array(*[F.lit(x) for x in plane])
+        key = key + F.when(_dot(v, arr) > 0, F.lit(2**k)).otherwise(F.lit(0))
+    return key
+
+
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Scale path for "find all pairs with cosine ≥ t" without the O(n²)
+    self-join: every vector gets one 4-bit key per hash table; candidate
+    pairs share a key in ANY table (OR-amplification boosts recall, the
+    union is deduped); exact cosine verifies. Each per-table self-join
+    shuffles on its bucket key only — at 100 TB the joins are
+    bucket-local and the verify is a narrow projection. More tables →
+    higher recall at linear cost (2×4 planes: 18/59 true pairs at
+    sf0.01; the exact variant is the ``sim>=t`` filter on
+    emb_knn_bruteforce's full cross product).
+    """
+    vecs = _vectors(spark, sf_dir)
+    for t in range(N_TABLES):
+        vecs = vecs.withColumn(f"b{t}", _table_bucket(F.col("v"), t))
+    vecs = vecs.cache()
+
+    def _pairs(t: int) -> DataFrame:
+        left = vecs.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col(f"b{t}").alias("bk"),
+        )
+        right = vecs.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col(f"b{t}").alias("bk"),
+        )
+        return left.join(right, "bk").filter(F.col("id_a") < F.col("id_b"))
+
+    cands = _pairs(0)
+    for t in range(1, N_TABLES):
+        cands = cands.unionByName(_pairs(t))
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer + probed inverted lists.
+
+    The codebook is fixed and deterministic (the NLIST lowest vec_ids —
+    a stand-in for offline-trained k-means centroids) and broadcast.
+    Assignment is one narrow broadcast pass + map-side max_by (no
+    window shuffle); queries probe their NPROBE nearest lists, so the
+    candidate join shuffles on list_id only — the corpus is read once
+    and re-ranked exactly within probed lists.
+    """
+    vecs = _vectors(spark, sf_dir)
+    cents = F.broadcast(
+        vecs.filter(F.col("vec_id") < NLIST).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+        )
+    )
+    sim_to_c = (_dot(F.col("v"), F.col("c")) /
+                (_norm(F.col("v")) * _norm(F.col("c"))))
+    # argmax centroid per vector: max_by on (sim, -centroid_id) ⇒ ties
+    # break to the lowest centroid_id, matching the oracle's row_number
+    assigned = (
+        vecs.join(cents, F.lit(True))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(sim_to_c.alias("s"), (-F.col("centroid_id")).alias("t")),
+            ).alias("list_id"),
+            F.first("v").alias("v"),
+        )
+    )
+    probes = F.broadcast(
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .join(cents, F.lit(True))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q"),
+            "centroid_id",
+            sim_to_c.alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("csim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("crank") <= NPROBE)
+        .select("query_id", "q", F.col("centroid_id").alias("list_id"))
+    )
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))))
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def _planes_sql(p: int) -> str:
     return "[" + ", ".join(f"{x:.1f}" for x in PLANES[p]) + "]"
 
@@ -144,6 +281,15 @@ _BUCKET_SQL = " + ".join(
     f"(CASE WHEN list_dot_product(v, {_planes_sql(p)}) > 0 THEN {2**p} ELSE 0 END)"
     for p in range(N_PLANES)
 )
+
+
+def _table_bucket_sql(table: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"{_planes_sql(table * PLANES_PER_TABLE + k)}) > 0 "
+        f"THEN {2**k} ELSE 0 END)"
+        for k in range(PLANES_PER_TABLE)
+    )
 
 SIM_ORACLES = {
     "emb_knn_bruteforce": f"""
@@ -183,9 +329,64 @@ ranked AS (
 SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
 FROM ranked WHERE rank <= {TOP_K}
 """,
+    "emb_cosine_neardup": f"""
+WITH vecs AS (
+  SELECT vec_id, v, {_table_bucket_sql(0)} AS b0, {_table_bucket_sql(1)} AS b1
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM vecs a JOIN vecs b
+    ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({_cos_sql('va', 'vb')}, 6) AS sim
+FROM cands
+WHERE {_cos_sql('va', 'vb')} >= {NEARDUP_THRESHOLD}
+""",
+    "emb_ivf_ann": f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM vecs
+          WHERE vec_id < {NLIST}),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS list_id FROM (
+    SELECT vecs.vec_id, vecs.v, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY vecs.vec_id
+             ORDER BY {_cos_sql('vecs.v', 'cents.c')} DESC, cents.centroid_id ASC
+           ) AS r
+    FROM vecs CROSS JOIN cents
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, q, centroid_id AS list_id FROM (
+    SELECT vecs.vec_id AS query_id, vecs.v AS q, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY vecs.vec_id
+             ORDER BY {_cos_sql('vecs.v', 'cents.c')} DESC, cents.centroid_id ASC
+           ) AS crank
+    FROM vecs CROSS JOIN cents
+    WHERE vecs.vec_id < {N_QUERIES}
+  ) WHERE crank <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cos_sql('p.q', 'a.v')} AS sim
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
 }
 
 SIM_QUERIES = {
     "emb_knn_bruteforce": emb_knn_bruteforce,
     "emb_lsh_ann": emb_lsh_ann,
+    "emb_cosine_neardup": emb_cosine_neardup,
+    "emb_ivf_ann": emb_ivf_ann,
 }

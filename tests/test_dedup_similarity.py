@@ -74,3 +74,50 @@ def test_lsh_ann_subset_of_bruteforce_space(spark):
     for r in lsh:
         if r.query_id in top1:
             assert r.sim <= top1[r.query_id] + 1e-9
+
+
+def test_cosine_neardup_blocked_subset_of_exact(spark):
+    from kg_covid_19_spark.operators.similarity import (
+        NEARDUP_THRESHOLD,
+        _dot,
+        _norm,
+        _vectors,
+        emb_cosine_neardup,
+    )
+    from pyspark.sql import functions as F
+
+    got = {(r.id_a, r.id_b): r.sim for r in emb_cosine_neardup(spark, SF_DIR).collect()}
+    # exact pair set above threshold (small sf → O(n²) self-join is fine)
+    v = _vectors(spark, SF_DIR)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("sim"),
+        )
+        .filter(F.col("sim") >= NEARDUP_THRESHOLD)
+        .collect()
+    }
+    assert set(got) <= exact  # LSH blocking never invents pairs
+    assert all(s >= NEARDUP_THRESHOLD for s in got.values())
+    assert all(i < j for i, j in got)
+
+
+def test_ivf_ann_neighbors_within_bruteforce_bounds(spark):
+    from kg_covid_19_spark.operators.similarity import (
+        TOP_K,
+        emb_ivf_ann,
+        emb_knn_bruteforce,
+    )
+
+    brute_top1 = {}
+    for r in emb_knn_bruteforce(spark, SF_DIR).collect():
+        brute_top1[r.query_id] = max(brute_top1.get(r.query_id, -2.0), r.sim)
+    ivf = emb_ivf_ann(spark, SF_DIR).collect()
+    assert len({r.query_id for r in ivf}) >= 1
+    assert all(r.rank <= TOP_K for r in ivf)
+    for r in ivf:
+        assert r.sim <= brute_top1[r.query_id] + 1e-9

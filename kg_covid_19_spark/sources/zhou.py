@@ -1,0 +1,115 @@
+"""Zhou et al. virus-host protein transform (PDF table source, S7).
+
+Reference: kg_covid_19/transform_utils/zhou_host_proteins/
+zhou_transform.py — tabula extracts the Suppl-Fig-3 table from pages
+5-7 of the paper's PDF (zhou_transform.py:81-85), the multi-page JSON
+becomes row dicts with the first page's first row as the shared header
+(utils/transform_utils.py:28-68), and each row emits a host-gene node,
+a virus node, and one interacts_with edge keyed by a fixed
+coronavirus→taxon table (zhou_transform.py:60-70, 96-137).
+
+Split exactly like the reference splits it:
+
+* **decode** — `read_pdf_tables` is the tabula call. The PDF
+  libraries are not in this container, so it is a clearly-marked stub
+  (NotImplementedError) mirroring `operators/multimodal.py`'s decode
+  gating; the Spark-side plumbing takes any DataFrame with the table's
+  four columns.
+* **transform** — `zhou_transform(spark, rows_df)`: pure column
+  algebra over those rows, including the reference's behavior of
+  raising on an unknown coronavirus (implemented as a raise-on-collect
+  guard column so the check stays distributed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SOURCE = "zhou_host_proteins"
+
+ZHOU_NODE_COLS = ["id", "name", "category", "provided_by"]
+ZHOU_EDGE_COLS = [
+    "subject", "predicate", "object", "relation", "provided_by", "type",
+    "publication",
+]
+
+# zhou_transform.py:63-70
+CORONA_TAXON = {
+    "IBV": 11120,
+    "MHV": 502104,
+    "HCoV-NL63": 277944,
+    "HCoV-229E": 11137,
+    "SARS": 227859,
+    "MERS": 1335626,
+}
+
+TABLE_COLUMNS = ["Coronavirus", "Host Gene ID", "Host Protein", "PubMed ID"]
+
+
+def read_pdf_tables(spark: SparkSession, pdf_path: str,
+                    pages: tuple[int, ...] = (5, 6, 7)) -> DataFrame:
+    """tabula.io.read_pdf equivalent (zhou_transform.py:81-85).
+
+    STUB: PDF table extraction needs tabula/jpype, which this
+    environment does not ship. The real implementation is a
+    binaryFile scan + mapInPandas decode (same plumbing as
+    operators/multimodal.py); until then callers pass the extracted
+    rows directly to `zhou_transform`.
+    """
+    raise NotImplementedError(
+        "PDF table extraction requires tabula; pass the extracted rows "
+        "to zhou_transform(spark, rows_df) instead"
+    )
+
+
+def zhou_transform(spark: SparkSession, rows: DataFrame
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Fig-3 table rows → (nodes, edges) (zhou_transform.py:96-150).
+
+    `rows` must carry TABLE_COLUMNS. Unknown coronavirus names raise at
+    evaluation, matching zhou_transform.py:98-101."""
+    lit = F.lit
+    taxon = F.map_from_arrays(
+        F.array(*[lit(k) for k in CORONA_TAXON]),
+        F.array(*[lit(str(v)) for v in CORONA_TAXON.values()]),
+    )
+    checked = rows.withColumn(
+        "corona_curie",
+        F.when(
+            taxon[F.col("Coronavirus")].isNotNull(),
+            F.concat(lit("NCBITaxon:"), taxon[F.col("Coronavirus")]),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    lit("Can't find info for coronavirus "),
+                    F.col("Coronavirus"),
+                )
+            )
+        ),
+    )
+    gene_id = F.concat(lit("NCBIGene:"), F.col("Host Gene ID"))
+    gene_nodes = checked.select(
+        gene_id.alias("id"),
+        F.col("Host Protein").alias("name"),
+        lit("biolink:Gene").alias("category"),
+        lit(SOURCE).alias("provided_by"),
+    )
+    virus_nodes = checked.select(
+        F.col("corona_curie").alias("id"),
+        F.col("Coronavirus").alias("name"),
+        lit("biolink:OrganismalEntity").alias("category"),
+        lit(SOURCE).alias("provided_by"),
+    )
+    # reference writes both nodes per row, no dedup (zhou_transform.py:105-129)
+    nodes = gene_nodes.unionByName(virus_nodes).select(*ZHOU_NODE_COLS)
+    edges = checked.select(
+        gene_id.alias("subject"),
+        lit("biolink:interacts_with").alias("predicate"),
+        F.col("corona_curie").alias("object"),
+        lit("RO:0002437").alias("relation"),
+        lit(SOURCE).alias("provided_by"),
+        lit("biolink:Association").alias("type"),
+        F.concat(lit("PMID:"), F.col("PubMed ID")).alias("publication"),
+    ).select(*ZHOU_EDGE_COLS)
+    return nodes, edges

@@ -50,6 +50,56 @@ def holdout_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_splits(spark, sf_dir).groupBy("split").agg(F.count("*").alias("n"))
 
 
+def connected_edge_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-coverage-preserving split (X1's custom variant).
+
+    The reference's primary holdout path (ensmallen
+    ``random_holdout``, make_holdouts.py:59-75) keeps the training
+    graph connected so every node stays learnable. The distributed,
+    connected-components-free analog: each node's minimum-hash incident
+    edge is FORCED into train (one groupBy on node + one semi-join on
+    the edge hash — no iterative CC), the rest split 8/1/1 by edge
+    hash. Guarantees every non-isolated node has ≥1 train edge;
+    deterministic at any parallelism. At 100 TB both shuffles are
+    single-key exchanges; the anchor set is ≤|V| rows and joins on the
+    edge hash, so AQE can pick the strategy per scale."""
+    _, edges = get_merged(spark, sf_dir)
+    h = F.md5(F.concat_ws("|", "subject", "predicate", "object"))
+    e = edges.select("subject", "predicate", "object", h.alias("h"))
+    anchors = (
+        e.select(F.explode(F.array("subject", "object")).alias("node"), "h")
+        .groupBy("node")
+        .agg(F.min("h").alias("h"))
+        .select("h")
+        .distinct()
+        .withColumn("forced", F.lit(True))
+    )
+    b = _bucket10("subject", "predicate", "object")
+    return (
+        e.join(anchors, "h", "left")
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            F.when(F.col("forced"), "train")
+            .when(b <= 7, "train")
+            .when(b == 8, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def holdout_connected_split_counts(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Split sizes for the coverage-preserving variant."""
+    return (
+        connected_edge_splits(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def holdout_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling: hash-ranked candidate pairs from a
     hash-selected node subset, anti-joined against positives (J9), first
@@ -86,6 +136,30 @@ tagged AS (
 )
 SELECT split, count(*) AS n FROM tagged GROUP BY split
 """,
+        "holdout_connected_split_counts": f"""
+WITH {merged_cte},
+e AS (
+  SELECT subject, predicate, object,
+         md5(subject || '|' || predicate || '|' || object) AS h
+  FROM merged_edges
+),
+inc AS (
+  SELECT subject AS node, h FROM e
+  UNION ALL SELECT object AS node, h FROM e
+),
+forced AS (
+  SELECT DISTINCT h FROM (SELECT node, min(h) AS h FROM inc GROUP BY node)
+),
+tagged AS (
+  SELECT CASE
+    WHEN e.h IN (SELECT h FROM forced) THEN 'train'
+    WHEN ('0x' || substr(e.h, 1, 15))::UBIGINT % 10 <= 7 THEN 'train'
+    WHEN ('0x' || substr(e.h, 1, 15))::UBIGINT % 10 = 8 THEN 'valid'
+    ELSE 'test' END AS split
+  FROM e
+)
+SELECT split, count(*) AS n FROM tagged GROUP BY split
+""",
         "holdout_negative_edges": f"""
 WITH {merged_cte},
 univ AS (
@@ -110,6 +184,7 @@ ORDER BY md5(subject || '|' || object) LIMIT {N_NEG}
 
 HOLDOUT_QUERIES = {
     "holdout_split_counts": holdout_split_counts,
+    "holdout_connected_split_counts": holdout_connected_split_counts,
     "holdout_negative_edges": holdout_negative_edges,
 }
 

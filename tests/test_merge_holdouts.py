@@ -71,3 +71,27 @@ def test_kgx_roundtrip(spark, tmp_path):
     assert rn.count() == 50 and re_.count() == 50
     assert rn.columns == ["id", "name", "category", "provided_by"]
     assert re_.columns == ["subject", "predicate", "object", "relation", "provided_by"]
+
+
+def test_connected_split_covers_every_node_in_train(spark):
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.operators.holdouts import connected_edge_splits
+
+    splits = connected_edge_splits(spark, SF_DIR).cache()
+    all_nodes = splits.select(
+        F.explode(F.array("subject", "object")).alias("node")
+    ).distinct()
+    train_nodes = (
+        splits.filter(F.col("split") == "train")
+        .select(F.explode(F.array("subject", "object")).alias("node"))
+        .distinct()
+    )
+    # every non-isolated node keeps at least one training edge
+    assert all_nodes.join(train_nodes, "node", "left_anti").count() == 0
+    # and the forced anchors don't blow up the train fraction
+    counts = {r.split: r.n for r in splits.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.75 <= counts["train"] / total <= 0.95
+    assert counts.get("valid", 0) > 0 and counts.get("test", 0) > 0

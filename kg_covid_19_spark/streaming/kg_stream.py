@@ -1,0 +1,92 @@
+"""Incremental KG ingestion over Structured Streaming.
+
+The reference is a monthly batch (Jenkinsfile cron, SURVEY.md §2.9); its
+resumability contract is "already-transformed inputs are skipped"
+(cached downloads, download_utils.py:50-56 — batch analog:
+plans/checkpoint.py). This module is the continuous version of the same
+contract: new document files arriving in a directory flow through the
+SAME mention kernel (operators/mentions.make_curie_udf — the stream and
+the batch share one code path, so batch/stream parity is structural,
+not coincidental) and append ``biolink:mentions`` edges to a parquet
+sink. The file-source + checkpoint pair gives exactly-once per input
+file: a restart with the same checkpoint re-processes nothing, and
+newly arrived files are picked up incrementally — the streaming analog
+of the per-partition lineage manifest.
+
+The streaming query is a narrow map chain (schema'd scan → Arrow UDF →
+explode → project), so the micro-batch plan has zero shuffles — the
+same 100 TB property as the batch build (plans/pipeline.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dictionaries import (
+    DOC_PREFIX,
+    MENTION_PREDICATE,
+    MENTION_RELATION,
+    PROVIDED_BY,
+)
+from ..operators.mentions import make_curie_udf
+
+
+def _mention_edges(docs: DataFrame) -> DataFrame:
+    """(streaming or batch) documents → mention edge rows; shared with
+    the batch pipeline's edge shape (plans/pipeline.py build_kg)."""
+    detect = make_curie_udf()
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.explode_outer(detect(F.col("text"))).alias("curie"),
+        )
+        .filter(F.col("curie").isNotNull())
+        .select(
+            F.concat(F.lit(DOC_PREFIX), F.col("doc_id").cast("string"))
+            .alias("subject"),
+            F.lit(MENTION_PREDICATE).alias("predicate"),
+            F.col("curie").alias("object"),
+            F.lit(MENTION_RELATION).alias("relation"),
+            F.lit(PROVIDED_BY).alias("provided_by"),
+        )
+    )
+
+
+def stream_mention_edges(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    query_name: str = "kg_mentions_stream",
+) -> DataFrame:
+    """Run the incremental ingest until the directory is drained, then
+    return the accumulated edge table.
+
+    Calling this again with the same ``checkpoint_dir`` after new files
+    land processes ONLY the new files (exactly-once per file) — the
+    resume test asserts both the no-duplicates and the pickup."""
+    schema = spark.read.parquet(docs_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    q = (
+        _mention_edges(docs)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir)
+
+
+def batch_mention_edges(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """The batch plan the stream must converge to (same kernel)."""
+    return _mention_edges(spark.read.parquet(docs_dir))

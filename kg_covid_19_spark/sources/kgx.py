@@ -16,13 +16,58 @@ small exports.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# merge.yaml:128-144 — the reference's K2 property_types block: every
+# non-canonical score property is typed xsd:float at export.
+MERGE_PROPERTY_TYPES: dict[str, str] = {
+    prop: "xsd:float"
+    for prop in (
+        "combined_score", "confidence_score", "neighborhood",
+        "neighborhood_transferred", "fusion", "cooccurence", "homology",
+        "coexpression", "coexpression_transferred", "experiments",
+        "experiments_transferred", "database", "database_transferred",
+        "textmining", "textmining_transferred",
+    )
+}
+
+_XSD_TO_SPARK = {
+    "xsd:float": "float",
+    "xsd:double": "double",
+    "xsd:integer": "long",
+    "xsd:boolean": "boolean",
+    "xsd:string": "string",
+}
+
+
+def apply_property_types(df: DataFrame,
+                         property_types: dict[str, str]) -> DataFrame:
+    """KGX `property_types` casts (merge.yaml:128-144): columns named in
+    the map are cast to the declared XSD type; empty strings become null
+    (the TSV missing-value convention) rather than cast errors; absent
+    columns are ignored, as KGX does for sources lacking the property."""
+    out = df
+    for colname, xsd in property_types.items():
+        if colname not in out.columns:
+            continue
+        spark_type = _XSD_TO_SPARK[xsd]
+        c = F.col(colname)
+        out = out.withColumn(
+            colname,
+            F.when(c.cast("string") == "", None).otherwise(c).cast(spark_type),
+        )
+    return out
 
 
 def write_kgx(nodes: DataFrame, edges: DataFrame, out_dir: str,
-              single_file: bool = False) -> None:
+              single_file: bool = False,
+              property_types: dict[str, str] | None = None) -> None:
     n, e = (nodes, edges)
+    if property_types:
+        n = apply_property_types(n, property_types)
+        e = apply_property_types(e, property_types)
     if single_file:
-        n, e = nodes.coalesce(1), edges.coalesce(1)
+        n, e = n.coalesce(1), e.coalesce(1)
     for df, name in ((n, "nodes"), (e, "edges")):
         (
             df.write.mode("overwrite")

@@ -95,3 +95,39 @@ def test_connected_split_covers_every_node_in_train(spark):
     total = sum(counts.values())
     assert 0.75 <= counts["train"] / total <= 0.95
     assert counts.get("valid", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_kgx_property_types_cast(spark, tmp_path):
+    from kg_covid_19_spark.sources.kgx import (
+        MERGE_PROPERTY_TYPES,
+        apply_property_types,
+        write_kgx,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "p", "b", "903", "0.87"),
+            ("c", "p", "d", "", None),
+        ],
+        "subject string, predicate string, object string, "
+        "combined_score string, confidence_score string",
+    )
+    cast = apply_property_types(edges, MERGE_PROPERTY_TYPES)
+    types = dict(cast.dtypes)
+    assert types["combined_score"] == "float"
+    assert types["confidence_score"] == "float"
+    rows = {r.subject: r for r in cast.collect()}
+    assert rows["a"].combined_score == 903.0
+    assert rows["c"].combined_score is None  # '' → null, not a cast error
+    # absent columns are ignored
+    nodes = spark.createDataFrame([("x", "n")], "id string, name string")
+    assert apply_property_types(nodes, MERGE_PROPERTY_TYPES).columns == [
+        "id", "name",
+    ]
+    # and the sink applies them on the way out (merge.yaml:123-144)
+    out = str(tmp_path / "typed")
+    write_kgx(nodes, edges, out, single_file=True,
+              property_types=MERGE_PROPERTY_TYPES)
+    re_read = spark.read.option("sep", "\t").option("header", True).option(
+        "inferSchema", True).csv(f"{out}/edges")
+    assert dict(re_read.dtypes)["combined_score"] in ("double", "float", "int")

@@ -85,6 +85,126 @@ def media_metadata(spark: SparkSession, sf_dir: str,
     return media_frame(spark, sf_dir).mapInPandas(decode_batches, MEDIA_META_SCHEMA)
 
 
+FEATURE_CHARS = "etaoinsr"  # 8-dim fake feature basis
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dim", IntegerType(), False),
+        StructField("f0", StringType(), False),
+    ]
+)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction kernel shape: binary → fixed-dim float vector.
+
+    The fake extractor decodes the bytes (utf-8 here) and emits the
+    frequency of 8 marker characters in integer parts-per-million —
+    deterministic, and exactly what a CLIP-style embedder's plumbing
+    looks like (binary in, fixed-dim vector out, one Arrow batch per
+    partition chunk). Integer ppm (not rounded floats) so the DuckDB
+    oracle compares exactly — float rounding ties differ between
+    Python (banker's) and SQL (half-away-from-zero)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["media"].map(lambda b: bytes(b).decode("utf-8"))
+            feats = texts.map(
+                lambda t: ",".join(
+                    str(t.count(c) * 1_000_000 // max(len(t), 1))
+                    for c in FEATURE_CHARS
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dim": len(FEATURE_CHARS),
+                    "f0": feats,
+                }
+            ).astype({"dim": "int32"})
+
+    return media_frame(spark, sf_dir).mapInPandas(extract, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("out_bytes", IntegerType(), False),
+    ]
+)
+
+
+def media_resize(spark: SparkSession, sf_dir: str, w: int = 64, h: int = 64
+                 ) -> DataFrame:
+    """Resize kernel shape: binary in → resized binary out (projected to
+    its size here so the oracle stays exact). The fake resize crops/pads
+    the byte stream to w*h — the plumbing (mapInPandas over the binary
+    column, fixed output dims) is what a real PIL/ffmpeg resize uses."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = w * h
+        for pdf in batches:
+            out = pdf["media"].map(
+                lambda b: len(bytes(b)[:target].ljust(target, b"\0"))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": w,
+                    "out_h": h,
+                    "out_bytes": out,
+                }
+            ).astype({"out_w": "int32", "out_h": "int32", "out_bytes": "int32"})
+
+    return media_frame(spark, sf_dir).mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAME_BYTES = 4096
+FRAME_STEP = 4  # sample every 4th frame
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_len", IntegerType(), False),
+    ]
+)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling kernel shape: a 'video' binary is a sequence of
+    FRAME_BYTES-sized frames; every FRAME_STEP-th frame is cut out.
+    The kernel slices real bytes and projects the slices to lengths so
+    the row explosion (1 video → k frames) and batch shape are tested."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(media)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STEP):
+                    frame = b[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                    rows.append((doc_id, i, len(frame)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len"]
+            ).astype({"frame_idx": "int32", "frame_len": "int32"})
+
+    return media_frame(spark, sf_dir).mapInPandas(sample, FRAMES_SCHEMA)
+
+
+def _feat_sql() -> str:
+    parts = [
+        "((length(text) - length(replace(text, '{c}', ''))) * 1000000)"
+        " // greatest(length(text), 1)".format(c=c)
+        for c in FEATURE_CHARS
+    ]
+    return " || ',' || ".join(f"CAST({p} AS VARCHAR)" for p in parts)
+
+
 MULTIMODAL_ORACLES = {
     "media_metadata": """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
@@ -93,8 +213,36 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        'fake-v1' AS decoder
 FROM documents
 """,
+    "media_features": f"""
+SELECT doc_id, {len(FEATURE_CHARS)} AS dim, {_feat_sql()} AS f0
+FROM documents
+""",
+    "media_resize": """
+SELECT doc_id, 64 AS out_w, 64 AS out_h, 64 * 64 AS out_bytes
+FROM documents
+""",
+    "media_frame_sample": f"""
+WITH sized AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         (octet_length(encode(text)) + {FRAME_BYTES} - 1) // {FRAME_BYTES}
+           AS n_frames
+  FROM documents
+)
+, idx AS (
+  SELECT doc_id, n_bytes,
+         unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT),
+                                {FRAME_STEP})) AS frame_idx
+  FROM sized
+)
+SELECT doc_id, frame_idx,
+       least({FRAME_BYTES}, n_bytes - frame_idx * {FRAME_BYTES}) AS frame_len
+FROM idx
+""",
 }
 
 MULTIMODAL_QUERIES = {
     "media_metadata": media_metadata,
+    "media_features": media_features,
+    "media_resize": media_resize,
+    "media_frame_sample": media_frame_sample,
 }

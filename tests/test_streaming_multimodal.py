@@ -34,3 +34,28 @@ def test_media_metadata_deterministic(spark):
     for _doc, n_bytes, w, h, dec in a:
         assert w == (n_bytes % 640) + 1 and h == (n_bytes // 640) + 1
         assert dec == "fake-v1"
+
+
+def test_multimodal_kernel_shapes(spark):
+    from kg_covid_19_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STEP,
+        media_features,
+        media_frame_sample,
+        media_resize,
+    )
+    from conftest import SF_DIR as SF
+
+    feats = media_features(spark, SF).limit(5).collect()
+    assert all(r.dim == 8 and len(r.f0.split(",")) == 8 for r in feats)
+    assert all(
+        0 <= int(x) <= 1_000_000 for r in feats for x in r.f0.split(",")
+    )
+
+    rs = media_resize(spark, SF).limit(5).collect()
+    assert all((r.out_w, r.out_h, r.out_bytes) == (64, 64, 4096) for r in rs)
+
+    frames = media_frame_sample(spark, SF)
+    rows = frames.limit(50).collect()
+    assert all(r.frame_idx % FRAME_STEP == 0 for r in rows)
+    assert all(0 < r.frame_len <= FRAME_BYTES for r in rows)

@@ -38,7 +38,13 @@ def test_dim_joins_broadcast_not_sort_merge(spark):
 
 
 def test_mention_chain_single_udf_min_exchanges(spark):
-    plan = _executed_plan(doc_mentions(spark, SF_DIR))
+    # explicit langs → distinct logical plan, so the session-cached
+    # mentions frame (get_mentions persists an identical-plan DF) can't
+    # shadow this test with an InMemoryTableScan
+    plan = _executed_plan(
+        doc_mentions(spark, SF_DIR, langs=("en", "de", "fr", "es", "xx"))
+    )
+    assert "InMemoryTableScan" not in plan
     # the Arrow kernel is evaluated exactly once (no Catalyst duplication
     # via inferred size()>0 filters — see doc_mentions docstring)
     assert plan.count("ArrowEvalPython") == 1

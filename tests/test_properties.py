@@ -153,3 +153,89 @@ def test_contract_iri_longest_prefix_model(spark, iris):
         return f"{best[0]}:{iri[len(best[1]):]}"
 
     assert _eval(spark, iris, contract_iri) == [model(i) for i in iris]
+
+
+# --- mention-kernel differential properties ----------------------------
+
+_term_st = st.from_regex(r"[abc]{1,4}", fullmatch=True)
+_phrase_st = st.lists(_term_st, min_size=2, max_size=3).map(" ".join)
+_doc_st = st.text(alphabet="abc -.", max_size=60)
+
+
+def _model_find(entries, text):
+    """Naive reference matcher: token-equality scan with per-doc curie
+    dedup in first-occurrence order (scibite_cord.py:187-188 semantics)."""
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    by_toks = {}
+    max_len = 1
+    for term, curie, _n, _c in entries:
+        tt = tuple(x for x in re.split(r"[^a-z0-9]+", term.lower()) if x)
+        if tt:
+            by_toks[tt] = curie
+            max_len = max(max_len, len(tt))
+    seen, out = set(), []
+    for i in range(len(toks)):
+        for L in range(1, max_len + 1):
+            key = tuple(toks[i:i + L])
+            if len(key) < L:
+                break
+            c = by_toks.get(key)
+            if c is not None and c not in seen:
+                seen.add(c)
+                out.append(c)
+    return out
+
+
+@SET
+@given(
+    st.lists(_term_st, min_size=1, max_size=8, unique=True),
+    st.lists(_doc_st, min_size=1, max_size=25),
+)
+def test_unigram_kernel_matches_model(spark, terms, docs):
+    from kg_covid_19_spark.operators.mentions import make_curie_udf
+
+    entries = [(t, f"X:{i}", t, "biolink:NamedThing")
+               for i, t in enumerate(terms)]
+    key = "prop-" + str(hash(tuple(terms)))
+    udf = make_curie_udf(entries, cache_key=key)
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = [r.c for r in df.select(udf(F.col("text")).alias("c")).collect()]
+    want = [sorted(set(_model_find(entries, d))) for d in docs]
+    assert [sorted(g) for g in got] == want
+
+
+@SET
+@given(
+    st.lists(_term_st, min_size=1, max_size=5, unique=True),
+    st.lists(_phrase_st, min_size=1, max_size=3, unique=True),
+    st.lists(_doc_st, min_size=1, max_size=20),
+)
+def test_phrase_kernel_matches_model(spark, unis, phrases, docs):
+    from kg_covid_19_spark.operators.mentions import make_curie_udf
+
+    all_terms = list(dict.fromkeys(unis + phrases))
+    entries = [(t, f"X:{i}", t, "biolink:NamedThing")
+               for i, t in enumerate(all_terms)]
+    key = "prop-ac-" + str(hash(tuple(all_terms)))
+    udf = make_curie_udf(entries, cache_key=key)
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = [r.c for r in df.select(udf(F.col("text")).alias("c")).collect()]
+    want = [sorted(set(_model_find(entries, d))) for d in docs]
+    assert [sorted(g) for g in got] == want
+
+
+@SET
+@given(st.lists(_doc_st, min_size=4, max_size=24))
+def test_kernel_invariant_to_partitioning(spark, docs):
+    from kg_covid_19_spark.operators.mentions import make_curie_udf
+
+    entries = [("a", "X:0", "a", "c"), ("bc", "X:1", "bc", "c"),
+               ("ab c", "X:2", "ab c", "c")]
+    udf = make_curie_udf(entries, cache_key="prop-part")
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    one = df.repartition(1).select("i", udf(F.col("text")).alias("c"))
+    many = df.repartition(8).select("i", udf(F.col("text")).alias("c"))
+    assert sorted((r.i, tuple(r.c)) for r in one.collect()) == sorted(
+        (r.i, tuple(r.c)) for r in many.collect()
+    )

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 SOURCE = "ChEMBL"
@@ -205,13 +206,34 @@ def _family_frame(spark: SparkSession, path: str, parser, cols: list[str],
 
 
 def chembl_transform(spark: SparkSession, files: dict[str, str],
+                     sssom_df: DataFrame | None = None,
                      ) -> tuple[DataFrame, DataFrame]:
     """files: keys molecules_data / assay_data / document_data /
     activity_data → (nodes, edges) with the reference's sorted headers.
-    (The reference additionally SSSOM-normalizes molecule ids against a map
-    file absent from its own tree; identity here, per
-    normalize_utils.py:36-44 identity-on-miss semantics.)"""
+
+    ``sssom_df`` (subject_id, object_id): molecule node ids are
+    SSSOM-normalized exactly like the reference's ``normalize_curies``
+    over molecule_nodes (chembl_transform.py:91-94) — broadcast left
+    join + coalesce, identity on miss (normalize_utils.py:36-44). The
+    reference's map file is absent from its own tree, so the default is
+    the identity."""
     molecules = _family_frame(spark, files["molecules_data"], parse_molecule, NODE_COLS)
+    if sssom_df is not None:
+        molecules = (
+            molecules.join(
+                F.broadcast(
+                    sssom_df.select(
+                        F.col("subject_id").alias("id"),
+                        F.col("object_id").alias("_norm"),
+                    )
+                ),
+                "id",
+                "left",
+            )
+            .withColumn("id", F.coalesce(F.col("_norm"), F.col("id")))
+            .drop("_norm")
+            .select(*NODE_COLS)
+        )
     assays = _family_frame(spark, files["assay_data"], parse_assay, NODE_COLS)
     documents = _family_frame(spark, files["document_data"], parse_document, NODE_COLS)
     edges = _family_frame(spark, files["activity_data"], parse_activity, EDGE_COLS)

@@ -71,3 +71,24 @@ def test_taxon_remap_and_uo_units():
     e = parse_activity(rec)
     assert e["object"] == "NCBITaxon:2697049"  # C10 taxon remap
     assert e["uo_units"] == "UO:0000022"  # C12 underscore fixup
+
+
+def test_chembl_molecule_sssom_normalization(spark):
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.sources.chembl import chembl_transform
+
+    nodes, _ = chembl_transform(spark, FILES)
+    some_id = (
+        nodes.filter(F.col("category") == "biolink:Drug")
+        .select("id").first().id
+    )
+    sssom = spark.createDataFrame(
+        [(some_id, "CHEBI:99999"), ("NOPE:1", "CHEBI:1")],
+        "subject_id string, object_id string",
+    )
+    norm_nodes, _ = chembl_transform(spark, FILES, sssom_df=sssom)
+    ids = {r.id for r in norm_nodes.collect()}
+    assert "CHEBI:99999" in ids and some_id not in ids
+    # identity on miss: everything else unchanged
+    assert norm_nodes.count() == nodes.count()

@@ -78,7 +78,8 @@ def with_prefix(prefix: str, col: Column) -> Column:
 def get_identifier_by_prefix(col: Column, prefix: str) -> Column:
     """C8: pick the ``prefix``-ed item from a '|'-list and fix ``HGNC:HGNC:``
     doubling (scibite_cord.py:467-484)."""
-    picked = F.filter(pipe_split(col), lambda x: x.startswith(prefix)).getItem(0)
+    # F.get: null on no hit (getItem(0) raises under ANSI on empty arrays)
+    picked = F.get(F.filter(pipe_split(col), lambda x: x.startswith(prefix)), 0)
     return F.regexp_replace(picked, f"^{prefix}{prefix}", prefix)
 
 

@@ -96,6 +96,53 @@ def merge_edges(frames: list[DataFrame]) -> DataFrame:
     )
 
 
+def remap_node_identifier(
+    nodes: DataFrame,
+    edges: DataFrame,
+    category: str = "biolink:Protein",
+    alternative_property: str = "xrefs",
+    prefix: str = "UniProtKB",
+) -> tuple[DataFrame, DataFrame]:
+    """merge.yaml:42-47's `kgx.utils.graph_utils.remap_node_identifier`
+    operation: nodes of `category` whose `alternative_property` ('|'-
+    multivalued) carries a `prefix:`-id get that id as their new node id,
+    and every edge endpoint referencing an old id is rewritten.
+
+    Spark shape: the old→new map is derived from the node frame itself
+    and joined onto subject and object (left + coalesce). The map is
+    |rewritten nodes|-sized — usually small relative to edges, so AQE
+    will broadcast it; no hint is forced because at web scale a remap
+    over the full protein universe can exceed broadcast limits, and a
+    shuffled hash join on the endpoint key is then correct."""
+    from ..functions.curie import get_identifier_by_prefix
+
+    alt = get_identifier_by_prefix(F.col(alternative_property), prefix + ":")
+    eligible = (F.col("category") == category) & (
+        F.coalesce(F.col(alternative_property), F.lit("")) != ""
+    )
+    new_id = F.when(eligible, F.coalesce(alt, F.col("id"))).otherwise(
+        F.col("id")
+    )
+    remapped_nodes = nodes.withColumn("id", new_id)
+    mapping = (
+        nodes.select(F.col("id").alias("_old"), new_id.alias("_new"))
+        .filter(F.col("_old") != F.col("_new"))
+        .distinct()
+    )
+    e = edges
+    for endpoint in ("subject", "object"):
+        e = (
+            e.join(
+                mapping.withColumnRenamed("_old", endpoint),
+                endpoint,
+                "left",
+            )
+            .withColumn(endpoint, F.coalesce("_new", endpoint))
+            .drop("_new")
+        )
+    return remapped_nodes, e.select(*edges.columns)
+
+
 def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """A8: the KGX generate_graph_stats analog (merge.yaml:114-122) —
     node counts per (category, provided_by) plus edge counts per

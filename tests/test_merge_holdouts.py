@@ -131,3 +131,36 @@ def test_kgx_property_types_cast(spark, tmp_path):
     re_read = spark.read.option("sep", "\t").option("header", True).option(
         "inferSchema", True).csv(f"{out}/edges")
     assert dict(re_read.dtypes)["combined_score"] in ("double", "float", "int")
+
+
+def test_remap_node_identifier_rewrites_nodes_and_edges(spark):
+    from kg_covid_19_spark.operators.merge import remap_node_identifier
+
+    nodes = spark.createDataFrame(
+        [
+            ("ENSEMBL:ENSP1", "p1", "biolink:Protein",
+             "ENSEMBL:ENSP1|UniProtKB:P100"),
+            ("ENSEMBL:ENSP2", "p2", "biolink:Protein", "ENSEMBL:ENSP2"),
+            ("NCBIGene:42", "g", "biolink:Gene", "UniProtKB:P999"),
+            ("ENSEMBL:ENSP3", "p3", "biolink:Protein", None),
+        ],
+        "id string, name string, category string, xrefs string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("ENSEMBL:ENSP1", "biolink:interacts_with", "ENSEMBL:ENSP2"),
+            ("NCBIGene:42", "biolink:has_gene_product", "ENSEMBL:ENSP1"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    n2, e2 = remap_node_identifier(nodes, edges)
+    ids = {r.name: r.id for r in n2.collect()}
+    assert ids["p1"] == "UniProtKB:P100"      # remapped via xref
+    assert ids["p2"] == "ENSEMBL:ENSP2"       # no UniProtKB xref → unchanged
+    assert ids["g"] == "NCBIGene:42"          # wrong category → unchanged
+    assert ids["p3"] == "ENSEMBL:ENSP3"       # null xrefs → unchanged
+    got_edges = sorted(tuple(r) for r in e2.collect())
+    assert got_edges == [
+        ("NCBIGene:42", "biolink:has_gene_product", "UniProtKB:P100"),
+        ("UniProtKB:P100", "biolink:interacts_with", "ENSEMBL:ENSP2"),
+    ]

@@ -143,6 +143,76 @@ def remap_node_identifier(
     return remapped_nodes, e.select(*edges.columns)
 
 
+def apply_source_filters(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_filters: dict[str, list[str]] | None = None,
+    edge_filters: dict[str, list[str]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """merge.yaml:27-41 per-source filters (F9), KGX load semantics:
+
+    * ``node_filters.category`` — keep nodes whose category is listed;
+    * ``edge_filters.edge_label`` — keep edges whose predicate is listed;
+    * ``edge_filters.subject_category`` / ``object_category`` — keep
+      edges whose endpoint survives the node filter AND has a listed
+      category. KGX applies filters at load time, so an edge whose
+      endpoint node was filtered out disappears with it — implemented
+      as semi-joins against the (already node-filtered) node frame.
+
+    The semi-join build side is the filtered node-id set; AQE broadcasts
+    it when small, and at web scale it degrades to a shuffled semi-join
+    on the endpoint key — both correct."""
+    if node_filters and "category" in node_filters:
+        nodes = nodes.filter(F.col("category").isin(node_filters["category"]))
+    if edge_filters:
+        if "edge_label" in edge_filters:
+            edges = edges.filter(
+                F.col("predicate").isin(edge_filters["edge_label"])
+            )
+        for key, endpoint in (
+            ("subject_category", "subject"),
+            ("object_category", "object"),
+        ):
+            if key in edge_filters:
+                allowed = nodes.filter(
+                    F.col("category").isin(edge_filters[key])
+                ).select(F.col("id").alias(endpoint))
+                edges = edges.join(allowed, endpoint, "left_semi")
+    return nodes, edges
+
+
+def load_and_merge(
+    sources: dict[str, tuple[DataFrame, DataFrame]],
+    config: dict[str, dict] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The merge entry point (merge_kg.py:22-34 + merge.yaml semantics):
+    per-source filters and operations, then the union-with-provenance
+    merge and graph stats → (nodes, edges, stats).
+
+    ``config[source]`` mirrors the merge.yaml block: optional keys
+    ``node_filters`` / ``edge_filters`` (F9) and ``operations`` (a list
+    of {"name": "remap_node_identifier", "args": {...}})."""
+    config = config or {}
+    node_frames: list[DataFrame] = []
+    edge_frames: list[DataFrame] = []
+    for name, (nodes, edges) in sources.items():
+        cfg = config.get(name, {})
+        nodes, edges = apply_source_filters(
+            nodes, edges, cfg.get("node_filters"), cfg.get("edge_filters")
+        )
+        for op in cfg.get("operations", []):
+            if op["name"] != "remap_node_identifier":
+                raise ValueError(f"unknown merge operation: {op['name']}")
+            nodes, edges = remap_node_identifier(
+                nodes, edges, **op.get("args", {})
+            )
+        node_frames.append(nodes)
+        edge_frames.append(edges)
+    merged_nodes = merge_nodes(node_frames)
+    merged_edges = merge_edges(edge_frames)
+    return merged_nodes, merged_edges, graph_stats(merged_nodes, merged_edges)
+
+
 def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """A8: the KGX generate_graph_stats analog (merge.yaml:114-122) —
     node counts per (category, provided_by) plus edge counts per

@@ -164,3 +164,99 @@ def test_remap_node_identifier_rewrites_nodes_and_edges(spark):
         ("NCBIGene:42", "biolink:has_gene_product", "UniProtKB:P100"),
         ("UniProtKB:P100", "biolink:interacts_with", "ENSEMBL:ENSP2"),
     ]
+
+
+def test_load_and_merge_with_filters_and_remap(spark):
+    from kg_covid_19_spark.operators.merge import (
+        apply_source_filters,
+        load_and_merge,
+    )
+
+    string_nodes = spark.createDataFrame(
+        [
+            ("ENSEMBL:ENSP1", "p1", "biolink:Protein", "STRING",
+             "UniProtKB:P100"),
+            ("NCBIGene:1", "g1", "biolink:Gene", "STRING", ""),
+            ("CHEBI:77", "chem", "biolink:Drug", "STRING", ""),  # filtered
+        ],
+        "id string, name string, category string, provided_by string, "
+        "xrefs string",
+    )
+    string_edges = spark.createDataFrame(
+        [
+            ("NCBIGene:1", "biolink:has_gene_product", "ENSEMBL:ENSP1",
+             "RO:1", "STRING"),
+            ("NCBIGene:1", "biolink:related_to", "ENSEMBL:ENSP1",
+             "RO:2", "STRING"),  # predicate filtered
+            ("CHEBI:77", "biolink:interacts_with", "ENSEMBL:ENSP1",
+             "RO:3", "STRING"),  # endpoint category filtered
+        ],
+        "subject string, predicate string, object string, relation string, "
+        "provided_by string",
+    )
+    other_nodes = spark.createDataFrame(
+        [("UniProtKB:P100", "p1-alias", "biolink:Protein", "intact", "")],
+        "id string, name string, category string, provided_by string, "
+        "xrefs string",
+    )
+    other_edges = spark.createDataFrame(
+        [], "subject string, predicate string, object string, "
+            "relation string, provided_by string",
+    )
+    # the merge.yaml STRING block (merge.yaml:27-47)
+    config = {
+        "STRING": {
+            "node_filters": {
+                "category": ["biolink:Gene", "biolink:Protein"]
+            },
+            "edge_filters": {
+                "subject_category": ["biolink:Gene", "biolink:Protein"],
+                "object_category": ["biolink:Gene", "biolink:Protein"],
+                "edge_label": [
+                    "biolink:interacts_with", "biolink:has_gene_product"
+                ],
+            },
+            "operations": [
+                {
+                    "name": "remap_node_identifier",
+                    "args": {
+                        "category": "biolink:Protein",
+                        "alternative_property": "xrefs",
+                        "prefix": "UniProtKB",
+                    },
+                }
+            ],
+        }
+    }
+    nodes, edges, stats = load_and_merge(
+        {"STRING": (string_nodes, string_edges),
+         "intact": (other_nodes, other_edges)},
+        config,
+    )
+    n = {r.id: r for r in nodes.collect()}
+    # remapped STRING protein fused with the intact node of the same id,
+    # provenance accumulated (merge_kg.py:22-34)
+    assert sorted(n) == ["NCBIGene:1", "UniProtKB:P100"]
+    assert n["UniProtKB:P100"].provided_by == "STRING|intact"
+    e = [tuple(r) for r in edges.collect()]
+    assert e == [
+        ("NCBIGene:1", "biolink:has_gene_product", "UniProtKB:P100",
+         "RO:1", "STRING")
+    ]
+    assert stats.count() > 0
+
+    # filters alone: edge with filtered endpoint disappears (KGX load
+    # semantics) even when its predicate is allowed
+    fn, fe = apply_source_filters(
+        string_nodes, string_edges,
+        node_filters={"category": ["biolink:Gene", "biolink:Protein"]},
+        edge_filters={
+            "subject_category": ["biolink:Gene", "biolink:Protein"],
+            "edge_label": ["biolink:interacts_with",
+                           "biolink:has_gene_product"],
+        },
+    )
+    assert fn.count() == 2
+    assert [r.predicate for r in fe.collect()] == [
+        "biolink:has_gene_product"
+    ]

@@ -24,6 +24,7 @@ from kg_covid_19_spark.functions.textstats import TEXTSTATS_ORACLES, TEXTSTATS_Q
 from kg_covid_19_spark.operators.multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from kg_covid_19_spark.operators.holdouts import HOLDOUT_ORACLES, HOLDOUT_QUERIES
 from kg_covid_19_spark.streaming.events import EVENTS_ORACLES, EVENTS_QUERIES
+from kg_covid_19_spark.operators.triples import TRIPLES_ORACLES, TRIPLES_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(MULTIMODAL_QUERIES)
     out.update(HOLDOUT_QUERIES)
     out.update(EVENTS_QUERIES)
+    out.update(TRIPLES_QUERIES)
     return out
 
 
@@ -56,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(MULTIMODAL_ORACLES)
     out.update(HOLDOUT_ORACLES)
     out.update(EVENTS_ORACLES)
+    out.update(TRIPLES_ORACLES)
     return out

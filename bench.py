@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from kg_covid_19_spark.operators.triples import kg_openie_triples  # noqa: E402
 from kg_covid_19_spark.plans.pipeline import get_kg  # noqa: E402
 from kg_covid_19_spark.plans.queries import KG_QUERIES  # noqa: E402
 from kg_covid_19_spark.session import get_spark  # noqa: E402
@@ -58,6 +59,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).agg(F.count("*")).collect()
         queries[name] = round(time.time() - t0, 3)
+    t0 = time.time()
+    kg_openie_triples(spark, SF_DIR).agg(F.count("*")).collect()
+    queries["kg_openie_triples"] = round(time.time() - t0, 3)
 
     total = sum(queries.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

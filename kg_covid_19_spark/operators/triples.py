@@ -1,0 +1,164 @@
+"""OpenIE-style (subject, predicate, object) triple extraction — the
+north-star operator the reference only approximates.
+
+The reference's closest analogs are the sentence-scoped co-occurrence
+records (cv19_scc.tsv: per-sentence entity groups, scibite_cord.py:
+253-340) and the per-document ``biolink:mentions`` edges — it never
+extracts a *textual predicate*. This operator completes the shape named
+by the north star: within each sentence window, consecutive detected
+entity mentions with a short connecting token span become one triple
+whose predicate is that span (ReVerb-lite: 1..MAX_GAP connecting
+tokens, joined with '_', prefixed ``rel:``).
+
+Execution shape: one Arrow-vectorized pandas UDF per document (no
+per-row Python, no shuffle until the final count); the dictionary is
+the same pre-normalized broadcast gazetteer the mention kernel uses, so
+subjects/objects arrive pre-linked and pre-canonicalized. The DuckDB
+oracle replicates the whole chain (sentence split, tokenization,
+token-equality mention positions, lead() pairing, connecting-span
+aggregation) in SQL, so the driver's hash gate checks the extractor
+end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dictionaries import (
+    gazetteer_values_sql,
+    normalized_gazetteer,
+    sssom_values_sql,
+)
+from ..sources.corpus import read_table
+
+MAX_GAP = 4  # max connecting tokens between two mentions (ReVerb-lite)
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+TRIPLE_SCHEMA = (
+    "subject string, predicate string, object string"
+)
+
+
+def _extract_doc(text: str, term_to_curie: dict[str, str]
+                 ) -> list[tuple[str, str, str]]:
+    """Per-document extraction: sentence windows on '.', token-equality
+    mentions, consecutive-pair predicates."""
+    out = []
+    for sent in text.lower().split("."):
+        toks = [t for t in _TOKEN_RE.split(sent) if t]
+        hits = [
+            (i, term_to_curie[t]) for i, t in enumerate(toks)
+            if t in term_to_curie
+        ]
+        for (i1, c1), (i2, c2) in zip(hits, hits[1:]):
+            gap = i2 - i1 - 1
+            if 1 <= gap <= MAX_GAP and c1 != c2:
+                pred = "rel:" + "_".join(toks[i1 + 1:i2])
+                out.append((c1, pred, c2))
+    return out
+
+
+def make_triple_udf(entries: list[tuple[str, str, str, str]] | None = None):
+    entries = entries if entries is not None else normalized_gazetteer()
+    term_to_curie = {t.lower(): c for t, c, _n, _cat in entries}
+
+    @F.pandas_udf("array<struct<subject:string,predicate:string,object:string>>")
+    def extract_triples(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: [] if t is None else _extract_doc(t, term_to_curie)
+        )
+
+    return extract_triples
+
+
+def doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All extracted triples with document provenance — narrow chain."""
+    udf = make_triple_udf()
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode_outer(udf(F.col("text"))).alias("t"))
+        .filter(F.col("t").isNotNull())
+        .select("doc_id", "t.subject", "t.predicate", "t.object")
+    )
+
+
+def kg_openie_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct extracted triples with support counts (desc by n so the
+    high-confidence relations surface first)."""
+    return (
+        doc_triples(spark, sf_dir)
+        .groupBy("subject", "predicate", "object")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _openie_sql() -> str:
+    return f"""
+WITH {gazetteer_values_sql()},
+{sssom_values_sql()},
+gaz_norm AS (
+  SELECT g.term,
+    CASE WHEN lower(coalesce(s.object_id, g.curie)) LIKE 'uniprotkb:%'
+         THEN regexp_replace(coalesce(s.object_id, g.curie), '-[0-9]+$', '')
+         ELSE coalesce(s.object_id, g.curie) END AS curie
+  FROM gaz g LEFT JOIN sssom s ON g.curie = s.subject_id
+),
+sents AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\.')) AS sent,
+         unnest(generate_series(
+           1, len(regexp_split_to_array(lower(text), '\\.')))) AS sidx
+  FROM documents
+),
+stoks AS (
+  SELECT doc_id, sidx,
+         unnest(list_filter(regexp_split_to_array(sent, '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok,
+         unnest(generate_series(
+           1, len(list_filter(regexp_split_to_array(sent, '[^a-z0-9]+'),
+                              x -> x <> '')))) AS tidx
+  FROM sents
+),
+sment AS (
+  SELECT t.doc_id, t.sidx, t.tidx, g.curie
+  FROM stoks t JOIN gaz_norm g ON t.tok = lower(g.term)
+),
+paired AS (
+  SELECT doc_id, sidx, tidx, curie,
+         lead(curie) OVER w AS next_curie,
+         lead(tidx) OVER w AS next_tidx
+  FROM sment
+  WINDOW w AS (PARTITION BY doc_id, sidx ORDER BY tidx)
+),
+triples AS (
+  SELECT p.doc_id, p.curie AS subject,
+         'rel:' || (
+           SELECT string_agg(t.tok, '_' ORDER BY t.tidx)
+           FROM stoks t
+           WHERE t.doc_id = p.doc_id AND t.sidx = p.sidx
+             AND t.tidx > p.tidx AND t.tidx < p.next_tidx
+         ) AS predicate,
+         p.next_curie AS object
+  FROM paired p
+  WHERE p.next_curie IS NOT NULL
+    AND p.next_tidx - p.tidx - 1 BETWEEN 1 AND {MAX_GAP}
+    AND p.curie <> p.next_curie
+)
+SELECT subject, predicate, object, count(*) AS n
+FROM triples GROUP BY subject, predicate, object
+"""
+
+
+TRIPLES_QUERIES = {
+    "kg_openie_triples": kg_openie_triples,
+}
+
+TRIPLES_ORACLES = {
+    "kg_openie_triples": _openie_sql(),
+}

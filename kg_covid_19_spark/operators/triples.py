@@ -155,10 +155,105 @@ FROM triples GROUP BY subject, predicate, object
 """
 
 
+def _sent_curies(text: str, term_to_curie: dict[str, str]) -> list[list[str]]:
+    out = []
+    for sent in text.lower().split("."):
+        toks = [t for t in _TOKEN_RE.split(sent) if t]
+        cs = sorted({term_to_curie[t] for t in toks if t in term_to_curie})
+        if len(cs) >= 2:
+            out.append(cs)
+    return out
+
+
+def kg_sentence_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-windowed co-occurrence — the reference's actual cooc
+    granularity (cv19_scc.tsv is one row per sentence,
+    scibite_cord.py:253-271), vs the doc-level pairs of the main
+    pipeline. Pairs are expanded row-locally from the per-sentence
+    distinct-curie sets (i<j), then counted — narrow until the final
+    dictionary²-bounded aggregation."""
+    entries = normalized_gazetteer()
+    term_to_curie = {t.lower(): c for t, c, _n, _cat in entries}
+
+    @F.pandas_udf("array<array<string>>")
+    def per_sentence(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: [] if t is None else _sent_curies(t, term_to_curie)
+        )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id", F.explode_outer(per_sentence(F.col("text"))).alias("cs")
+    ).filter(F.col("cs").isNotNull())
+    pairs = sent.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "cs",
+                        lambda a: F.transform(
+                            F.col("cs"),
+                            lambda b: F.struct(a.alias("s"), b.alias("o")),
+                        ),
+                    )
+                ),
+                lambda p: p["s"] < p["o"],
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("doc_id", "p.s", "p.o")
+        .groupBy(F.col("s").alias("curie_a"), F.col("o").alias("curie_b"))
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def _sentence_cooc_sql() -> str:
+    return f"""
+WITH {gazetteer_values_sql()},
+{sssom_values_sql()},
+gaz_norm AS (
+  SELECT g.term,
+    CASE WHEN lower(coalesce(s.object_id, g.curie)) LIKE 'uniprotkb:%'
+         THEN regexp_replace(coalesce(s.object_id, g.curie), '-[0-9]+$', '')
+         ELSE coalesce(s.object_id, g.curie) END AS curie
+  FROM gaz g LEFT JOIN sssom s ON g.curie = s.subject_id
+),
+sents AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\.')) AS sent,
+         unnest(generate_series(
+           1, len(regexp_split_to_array(lower(text), '\\.')))) AS sidx
+  FROM documents
+),
+stoks AS (
+  SELECT doc_id, sidx,
+         unnest(list_filter(regexp_split_to_array(sent, '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM sents
+),
+scur AS (
+  SELECT DISTINCT t.doc_id, t.sidx, g.curie
+  FROM stoks t JOIN gaz_norm g ON t.tok = lower(g.term)
+)
+SELECT a.curie AS curie_a, b.curie AS curie_b,
+       count(*) AS n_sentences, count(DISTINCT a.doc_id) AS n_docs
+FROM scur a JOIN scur b
+  ON a.doc_id = b.doc_id AND a.sidx = b.sidx AND a.curie < b.curie
+GROUP BY a.curie, b.curie
+"""
+
+
 TRIPLES_QUERIES = {
     "kg_openie_triples": kg_openie_triples,
+    "kg_sentence_cooc": kg_sentence_cooc,
 }
 
 TRIPLES_ORACLES = {
     "kg_openie_triples": _openie_sql(),
+    "kg_sentence_cooc": _sentence_cooc_sql(),
 }

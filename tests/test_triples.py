@@ -50,3 +50,24 @@ def test_openie_deterministic_across_parallelism(spark):
     a = sorted(tuple(r) for r in doc_triples(spark, SF_DIR).repartition(1).collect())
     b = sorted(tuple(r) for r in doc_triples(spark, SF_DIR).repartition(8).collect())
     assert a == b
+
+
+def test_sentence_cooc_is_subset_of_doc_cooc(spark):
+    from kg_covid_19_spark.operators.triples import kg_sentence_cooc
+    from kg_covid_19_spark.plans.pipeline import get_mentions
+
+    sc = {(r.curie_a, r.curie_b) for r in kg_sentence_cooc(spark, SF_DIR).collect()}
+    assert sc
+    # a pair co-occurring in one sentence co-occurs in that document
+    m = get_mentions(spark, SF_DIR)
+    doc_terms = {}
+    for r in m.collect():
+        doc_terms.setdefault(r.doc_id, set()).add(r.curie)
+    doc_pairs = {
+        (a, b)
+        for terms in doc_terms.values()
+        for a in terms
+        for b in terms
+        if a < b
+    }
+    assert sc <= doc_pairs

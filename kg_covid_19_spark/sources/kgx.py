@@ -61,21 +61,32 @@ def apply_property_types(df: DataFrame,
 
 def write_kgx(nodes: DataFrame, edges: DataFrame, out_dir: str,
               single_file: bool = False,
-              property_types: dict[str, str] | None = None) -> None:
+              property_types: dict[str, str] | None = None,
+              node_partition_by: list[str] | None = None,
+              edge_partition_by: list[str] | None = None) -> None:
+    """``*_partition_by``: hive-style partitioned layout (e.g. nodes by
+    category, edges by predicate) — at 100 TB this is what makes the
+    merged artifact queryable with partition pruning; readers filtering
+    on the partition column never touch the other directories."""
     n, e = (nodes, edges)
     if property_types:
         n = apply_property_types(n, property_types)
         e = apply_property_types(e, property_types)
     if single_file:
         n, e = n.coalesce(1), e.coalesce(1)
-    for df, name in ((n, "nodes"), (e, "edges")):
-        (
+    for df, name, pb in (
+        (n, "nodes", node_partition_by),
+        (e, "edges", edge_partition_by),
+    ):
+        writer = (
             df.write.mode("overwrite")
             .option("sep", "\t")
             .option("header", True)
             .option("emptyValue", "")  # missing → '' like write_node_edge_item
-            .csv(f"{out_dir}/{name}")
         )
+        if pb:
+            writer = writer.partitionBy(*pb)
+        writer.csv(f"{out_dir}/{name}")
 
 
 def read_kgx(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -260,3 +260,30 @@ def test_load_and_merge_with_filters_and_remap(spark):
     assert [r.predicate for r in fe.collect()] == [
         "biolink:has_gene_product"
     ]
+
+
+def test_kgx_partitioned_write_prunes(spark, tmp_path):
+    import os
+
+    from kg_covid_19_spark.plans.merged import get_merged
+    from kg_covid_19_spark.sources.kgx import write_kgx
+
+    nodes, edges = get_merged(spark, SF_DIR)
+    out = str(tmp_path / "parted")
+    write_kgx(nodes, edges, out, node_partition_by=["category"],
+              edge_partition_by=["predicate"])
+    cat_dirs = [d for d in os.listdir(f"{out}/nodes") if d.startswith("category=")]
+    assert len(cat_dirs) >= 2
+    # partition pruning: a category filter reads only its directory
+    rd = (
+        spark.read.option("sep", "\t").option("header", True)
+        .option("basePath", f"{out}/nodes").csv(f"{out}/nodes")
+    )
+    plan = (
+        rd.filter(F.col("category") == "biolink:Publication")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(category" in plan
+    got = rd.filter(F.col("category") == "biolink:Publication").count()
+    want = nodes.filter(F.col("category") == "biolink:Publication").count()
+    assert got == want

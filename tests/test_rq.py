@@ -69,3 +69,23 @@ def test_result_bindings_to_df(spark):
     df = result_bindings_to_df(spark, RESULT_DICT)
     assert df.columns == ["v1", "v0"]
     assert df.count() == 3
+
+
+def test_sql_view_surface_matches_dataframe_plans(spark):
+    from kg_covid_19_spark.plans.sql_views import (
+        QUERY_01_SQL,
+        QUERY_06_SQL,
+        register_kg_views,
+    )
+
+    from conftest import SF_DIR
+
+    names = register_kg_views(spark, SF_DIR)
+    assert names == ["kg_nodes", "kg_edges", "kg_mentions"]
+    got = sorted(tuple(r) for r in spark.sql(QUERY_01_SQL).collect())
+    want = sorted(
+        tuple(r) for r in KG_QUERIES["kg_category_counts"](spark, SF_DIR).collect()
+    )
+    assert got == want
+    q6 = spark.sql(QUERY_06_SQL).collect()
+    assert q6 and q6[0].cnt == max(r.cnt for r in q6)  # ORDER BY DESC

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..dictionaries import (
     COOC_PREDICATE,
@@ -107,7 +108,21 @@ def build_kg(spark: SparkSession, sf_dir: str,
     pm = pages_with_mentions(spark, sf_dir, langs)
     doc_curie = F.concat(F.lit(DOC_PREFIX), F.col("doc_id").cast("string"))
 
-    pub_nodes = pm.select(
+    # The mention kernel feeds THREE branches (term nodes, mention edges,
+    # co-occurrence pairs); without a shared materialization each branch
+    # re-evaluates the UDF over the whole corpus. Persist the compact
+    # (doc_id, curies) projection — ids + a few CURIEs per doc, orders of
+    # magnitude smaller than the text — so the kernel runs exactly once
+    # per build. MEMORY_AND_DISK: at 100 TB the projection spills rather
+    # than recomputes. (On a cluster this is the natural intermediate
+    # Iceberg table between extraction and graph materialization.)
+    mid = pm.select("doc_id", "curies").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # publication nodes need only doc_id — read it off the persisted
+    # projection (column-pruned, no UDF, no second corpus scan).
+    pub_nodes = mid.select(
         doc_curie.alias("id"),
         F.concat(F.lit("Document "), F.col("doc_id").cast("string")).alias("name"),
         F.lit(PUB_CATEGORY).alias("category"),
@@ -117,7 +132,7 @@ def build_kg(spark: SparkSession, sf_dir: str,
     # explode_outer + filter: see doc_mentions — avoids UDF re-evaluation
     # via the explode-inferred size() pre-filter.
     mentions = (
-        pm.select("doc_id", F.explode_outer("curies").alias("curie"))
+        mid.select("doc_id", F.explode_outer("curies").alias("curie"))
         .filter(F.col("curie").isNotNull())
     )
 
@@ -144,7 +159,7 @@ def build_kg(spark: SparkSession, sf_dir: str,
     # co-occurrence pairs expanded row-locally from the sorted mention array
     # (i < j ⇒ s < o), then deduped on the edge key.
     pairs = (
-        pm.select(
+        mid.select(
             F.explode_outer(
                 F.filter(
                     F.flatten(

@@ -123,7 +123,76 @@ def _lang_pred_sql() -> str:
     return expr
 
 
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals, exact-integer ppm (float
+    rounding ties differ between engines):
+
+    * ``top_tok_ppm`` — most frequent token's share of all tokens
+      (two-level aggregate: partial (doc, tok) counts collapse map-side,
+      then a per-doc max — both shuffles carry dictionary-bounded rows);
+    * ``dup_2gram_ppm`` — duplicated-bigram share, computed purely on
+      the token array (no shuffle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    two = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    arr_stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        ((F.size(two) - F.size(F.array_distinct(two))) * 1_000_000).alias(
+            "_dup_num"
+        ),
+        F.size(two).alias("_n2"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_top"))
+    )
+    # `div` = exact integer division (matching DuckDB's `//`); a float
+    # `/` + cast can land one off on exact multiples.
+    return arr_stats.join(top, "doc_id").select(
+        "doc_id",
+        F.expr("_top * 1000000L div n_toks").alias("top_tok_ppm"),
+        F.expr(
+            "CASE WHEN _n2 > 0 THEN _dup_num div _n2 ELSE 0L END"
+        ).alias("dup_2gram_ppm"),
+    )
+
+
 TEXTSTATS_ORACLES = {
+    "txt_repetition": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+arrs AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_toks,
+    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))
+    ELSE [] END AS two
+  FROM documents
+)
+SELECT a.doc_id,
+  CAST(t.top_c * 1000000 // a.n_toks AS BIGINT) AS top_tok_ppm,
+  CAST(CASE WHEN len(a.two) > 0
+       THEN (len(a.two) - len(list_distinct(a.two))) * 1000000 // len(a.two)
+       ELSE 0 END AS BIGINT) AS dup_2gram_ppm
+FROM arrs a JOIN top t ON a.doc_id = t.doc_id
+""",
     "txt_stats": """
 SELECT doc_id, length(text) AS n_chars,
   len(string_split(text, ' ')) AS n_tokens_ws,
@@ -159,4 +228,5 @@ TEXTSTATS_QUERIES = {
     "txt_quality": txt_quality,
     "txt_lang_id": txt_lang_id,
     "txt_fingerprint": txt_fingerprint,
+    "txt_repetition": txt_repetition,
 }

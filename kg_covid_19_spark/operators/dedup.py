@@ -298,7 +298,73 @@ cand AS (
 """.strip()
 
 
+# Production decontamination uses 8-13-token shingles; the synthetic
+# corpus' random word soup has no long-range repeats, so 4 keeps the
+# check non-vacuous (8 contaminated docs at sf0.01) with identical code.
+DECON_N = 4      # shingle width for contamination checks
+DECON_MOD = 97   # doc_id % 97 == 0 → the held-out "benchmark" set
+
+
+def _ngrams(text: Column, n: int) -> Column:
+    """All n-token shingles (space-tokenized), [] when too short."""
+    toks = F.split(text, " ")
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, mk).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-corpus op the dedup
+    family exists for: flag every training document sharing an
+    {DECON_N}-token shingle with the held-out benchmark set (here the
+    deterministic doc_id % {DECON_MOD} == 0 slice stands in for an eval
+    suite). Shape at 100 TB: the benchmark shingle set is tiny →
+    broadcast semi-join against the exploded corpus shingles; one narrow
+    explode + one KB-sized build side, no corpus shuffle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(_ngrams(F.col("text"), DECON_N))
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    bench = F.broadcast(sh.filter(is_bench).select("shingle").distinct())
+    return (
+        sh.filter(~is_bench)
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+def _decon_shingles_sql() -> str:
+    toks = "string_split(text, ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {DECON_N} THEN list_distinct("
+        f"list_transform(generate_series(1, len({toks}) - {DECON_N - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {DECON_N - 1}), ' ')"
+        f")) ELSE [] END"
+    )
+
+
 DEDUP_ORACLES = {
+    "doc_decontaminate": f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_decon_shingles_sql()}) AS shingle FROM documents
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0
+)
+SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared_shingles
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id % {DECON_MOD} <> 0
+GROUP BY s.doc_id
+""",
     "doc_dedup_exact": f"""
 WITH {DEDUP_CORPUS_CTE}
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
@@ -352,4 +418,5 @@ DEDUP_QUERIES = {
     "doc_minhash_candidates": minhash_candidates,
     "doc_neardup_pairs": neardup_pairs,
     "doc_simhash_clusters": simhash_clusters,
+    "doc_decontaminate": doc_decontaminate,
 }

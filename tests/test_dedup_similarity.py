@@ -121,3 +121,21 @@ def test_ivf_ann_neighbors_within_bruteforce_bounds(spark):
     assert all(r.rank <= TOP_K for r in ivf)
     for r in ivf:
         assert r.sim <= brute_top1[r.query_id] + 1e-9
+
+
+def test_decontaminate_excludes_benchmark_docs(spark):
+    from kg_covid_19_spark.operators.dedup import DECON_MOD, doc_decontaminate
+
+    rows = doc_decontaminate(spark, SF_DIR).collect()
+    assert all(r.doc_id % DECON_MOD != 0 for r in rows)
+    assert all(r.n_shared_shingles >= 1 for r in rows)
+
+
+def test_repetition_bounds(spark):
+    from kg_covid_19_spark.functions.textstats import txt_repetition
+
+    rows = txt_repetition(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_tok_ppm <= 1_000_000
+        assert 0 <= r.dup_2gram_ppm <= 1_000_000

@@ -25,6 +25,7 @@ from kg_covid_19_spark.operators.multimodal import MULTIMODAL_ORACLES, MULTIMODA
 from kg_covid_19_spark.operators.holdouts import HOLDOUT_ORACLES, HOLDOUT_QUERIES
 from kg_covid_19_spark.streaming.events import EVENTS_ORACLES, EVENTS_QUERIES
 from kg_covid_19_spark.operators.triples import TRIPLES_ORACLES, TRIPLES_QUERIES
+from kg_covid_19_spark.plans.corpus_export import EXPORT_ORACLES, EXPORT_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(HOLDOUT_QUERIES)
     out.update(EVENTS_QUERIES)
     out.update(TRIPLES_QUERIES)
+    out.update(EXPORT_QUERIES)
     return out
 
 
@@ -59,4 +61,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(HOLDOUT_ORACLES)
     out.update(EVENTS_ORACLES)
     out.update(TRIPLES_ORACLES)
+    out.update(EXPORT_ORACLES)
     return out

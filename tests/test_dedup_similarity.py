@@ -139,3 +139,27 @@ def test_repetition_bounds(spark):
     for r in rows:
         assert 0 < r.top_tok_ppm <= 1_000_000
         assert 0 <= r.dup_2gram_ppm <= 1_000_000
+
+
+def test_corpus_export_gates(spark):
+    from kg_covid_19_spark.operators.dedup import DECON_MOD, doc_decontaminate
+    from kg_covid_19_spark.plans.corpus_export import (
+        EXPORT_LANG,
+        QUALITY_MIN,
+        corpus_export,
+    )
+    from kg_covid_19_spark.sources.corpus import read_table
+
+    out = corpus_export(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    assert all(r.quality >= QUALITY_MIN for r in rows)
+    kept = {r.doc_id for r in rows}
+    assert all(d % DECON_MOD != 0 for d in kept)  # benchmark excluded
+    contaminated = {r.doc_id for r in doc_decontaminate(spark, SF_DIR).collect()}
+    assert not (kept & contaminated)
+    langs = dict(
+        read_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang").collect()
+    )
+    assert all(langs[d] == EXPORT_LANG for d in kept)

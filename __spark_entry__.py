@@ -26,6 +26,7 @@ from kg_covid_19_spark.operators.holdouts import HOLDOUT_ORACLES, HOLDOUT_QUERIE
 from kg_covid_19_spark.streaming.events import EVENTS_ORACLES, EVENTS_QUERIES
 from kg_covid_19_spark.operators.triples import TRIPLES_ORACLES, TRIPLES_QUERIES
 from kg_covid_19_spark.plans.corpus_export import EXPORT_ORACLES, EXPORT_QUERIES
+from kg_covid_19_spark.functions.urls import URL_ORACLES, URL_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -46,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(EVENTS_QUERIES)
     out.update(TRIPLES_QUERIES)
     out.update(EXPORT_QUERIES)
+    out.update(URL_QUERIES)
     return out
 
 
@@ -62,4 +64,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(EVENTS_ORACLES)
     out.update(TRIPLES_ORACLES)
     out.update(EXPORT_ORACLES)
+    out.update(URL_ORACLES)
     return out

@@ -217,7 +217,24 @@ def rel_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation → region totals) — the graph-stats
+    natural hierarchy (A8 note), subtotals + grand total."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey_fk"), F.col("n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n),
+        F.col("c_nationkey") == F.col("c_nationkey_fk"),
+    )
+    return (
+        cust.rollup("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("n_custs"))
+    )
+
+
 REL_QUERIES = {
+    "rel_rollup_counts": rel_rollup_counts,
     "rel_filter_in": rel_filter_in,
     "rel_pair_filter": rel_pair_filter,
     "rel_broadcast_dims": rel_broadcast_dims,
@@ -325,5 +342,10 @@ GROUP BY l_returnflag, l_linestatus
     "rel_cube_counts": """
 SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "rel_rollup_counts": """
+SELECT c_mktsegment, n_name, count(*) AS n_custs
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (c_mktsegment, n_name)
 """,
 }

@@ -90,6 +90,26 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction primitive over the co-occurrence graph: entity
+    pairs ranked by common-neighbor count (triangle-style J12 extension
+    — the self-join shuffles once on the shared-neighbor key and AQE
+    handles the hub-key skew). Pairs with ≥2 common neighbors."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    a = und.select(F.col("subject").alias("x"), F.col("object").alias("via"))
+    b = und.select(F.col("subject").alias("y"), F.col("object").alias("via"))
+    return (
+        a.join(b, "via")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.countDistinct("via").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+
+
 def kg_druggable_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-05: the 2-hop restricted to drug endpoints (the reference's
     druggable-genome TDL='Tclin' constraint becomes category='biolink:Drug')."""
@@ -158,6 +178,7 @@ KG_QUERIES = {
     "kg_protein_nodes": kg_protein_nodes,
     "kg_one_hop": kg_one_hop,
     "kg_two_hop": kg_two_hop,
+    "kg_common_neighbors": kg_common_neighbors,
     "kg_druggable_two_hop": kg_druggable_two_hop,
     "kg_provided_by_counts": kg_provided_by_counts,
     "kg_drug_mentions": kg_drug_mentions,
@@ -198,6 +219,19 @@ und AS (
 SELECT DISTINCT h1.object AS mid, h2.object AS far
 FROM und h1 JOIN und h2 ON h1.object = h2.subject
 WHERE h1.subject = '{HUB}' AND h2.object <> '{HUB}'
+""",
+    "kg_common_neighbors": f"""
+WITH {_CTE},
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)
+SELECT a.subject AS x, b.subject AS y, count(DISTINCT a.object) AS n_common
+FROM und a JOIN und b ON a.object = b.object
+WHERE a.subject < b.subject
+GROUP BY a.subject, b.subject
+HAVING count(DISTINCT a.object) >= 2
 """,
     "kg_druggable_two_hop": f"""
 WITH {_CTE},

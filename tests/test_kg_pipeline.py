@@ -47,3 +47,13 @@ def test_edge_key_unique(spark):
 def test_query_matches_oracle(spark, duck, name):
     df = KG_QUERIES[name](spark, SF_DIR)
     assert_df_matches_oracle(df, duck, KG_ORACLES[name])
+
+
+def test_empty_input_builds_empty_graph(spark):
+    from kg_covid_19_spark.plans.pipeline import build_kg
+
+    nodes, edges = build_kg(spark, SF_DIR, langs=("xx",))
+    assert nodes.count() == 0
+    assert edges.count() == 0
+    # schema stays stable even with zero rows
+    assert nodes.columns == ["id", "name", "category", "provided_by"]

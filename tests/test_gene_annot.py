@@ -50,3 +50,12 @@ def test_bare_endpoint_nodes_guessed(spark):
             assert by_id[r.object].category == "biolink:OntologyClass"
     # no duplicate ids
     assert nodes.count() == nodes.select("id").distinct().count()
+
+
+def test_gpi_record_count_golden(spark):
+    # reference tests/test_gpi_file.py:15-28: the curated full GPI file
+    # parses to exactly 32 records
+    curated = "/root/reference/curated/ORFs/uniprot_sars-cov-2.gpi"
+    if not os.path.exists(curated):
+        pytest.skip("curated gpi not available")
+    assert gpi_nodes(spark, curated).count() == 32

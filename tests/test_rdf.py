@@ -80,3 +80,18 @@ def test_node_property_predicates_fold_onto_nodes(spark, tmp_path):
     go = nodes.filter(F.col("id") == "GO:0003723").collect()[0]
     assert go.category == "biolink:OntologyClass"
     assert go.properties == {}
+
+
+def test_malformed_lines_are_skipped_not_fatal(spark, tmp_path):
+    nt = tmp_path / "bad.nt"
+    nt.write_text(
+        "<http://model.geneontology.org/m1> "
+        "<https://w3id.org/biolink/vocab/related_to> "
+        "<http://purl.obolibrary.org/obo/GO_1> .\n"
+        "# a comment line\n"
+        "\n"
+        "this is not a triple at all\n"
+        "<http://model.geneontology.org/m2> incomplete\n"
+    )
+    df = read_ntriples(spark, str(nt))
+    assert df.count() == 1  # only the well-formed triple survives

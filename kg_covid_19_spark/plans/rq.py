@@ -27,24 +27,23 @@ RQ_TO_PLAN = {
     "query-07-drug-to-drug-target.rq": "kg_drug_mentions",
 }
 
-_FRONT = re.compile(r"^\=\+ ")
+_FRONT = re.compile(r"^=\+ (\S+) (.*)$")
 
 
 def parse_query_rq(rq_file: str) -> dict:
-    """grlc front-matter + SPARQL body → dict (query.py:18-41 contract)."""
-    parsed: dict[str, str] = {}
-    query = ""
+    """grlc front-matter + SPARQL body → dict (query.py:18-41 contract:
+    `=+ key value` lines become entries, everything else concatenates —
+    blank lines dropped — into `query`)."""
+    meta: dict[str, str] = {}
+    body: list[str] = []
     with open(rq_file) as fh:
         for line in fh:
-            if line.isspace():
-                continue
-            if _FRONT.match(line):
-                key, value = _FRONT.sub("", line).rstrip().split(" ", maxsplit=1)
-                parsed[key] = value
-            else:
-                query += line
-    parsed["query"] = query
-    return parsed
+            m = _FRONT.match(line)
+            if m:
+                meta[m.group(1)] = m.group(2).rstrip()
+            elif not line.isspace():
+                body.append(line)
+    return {**meta, "query": "".join(body)}
 
 
 def result_bindings_to_df(spark: SparkSession, result_dict: dict) -> DataFrame:

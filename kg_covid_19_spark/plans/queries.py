@@ -110,6 +110,20 @@ def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph (A5/A8 extension):
+    how many entities have each undirected degree. Two dictionary-
+    bounded aggregations — the histogram never exceeds |V| rows."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    degrees = und.groupBy(F.col("subject").alias("id")).agg(
+        F.countDistinct("object").alias("degree")
+    )
+    return degrees.groupBy("degree").agg(F.count("*").alias("n_entities"))
+
+
 def kg_druggable_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-05: the 2-hop restricted to drug endpoints (the reference's
     druggable-genome TDL='Tclin' constraint becomes category='biolink:Drug')."""
@@ -179,6 +193,7 @@ KG_QUERIES = {
     "kg_one_hop": kg_one_hop,
     "kg_two_hop": kg_two_hop,
     "kg_common_neighbors": kg_common_neighbors,
+    "kg_degree_histogram": kg_degree_histogram,
     "kg_druggable_two_hop": kg_druggable_two_hop,
     "kg_provided_by_counts": kg_provided_by_counts,
     "kg_drug_mentions": kg_drug_mentions,
@@ -219,6 +234,19 @@ und AS (
 SELECT DISTINCT h1.object AS mid, h2.object AS far
 FROM und h1 JOIN und h2 ON h1.object = h2.subject
 WHERE h1.subject = '{HUB}' AND h2.object <> '{HUB}'
+""",
+    "kg_degree_histogram": f"""
+WITH {_CTE},
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+deg AS (
+  SELECT subject AS id, count(DISTINCT object) AS degree
+  FROM und GROUP BY subject
+)
+SELECT degree, count(*) AS n_entities FROM deg GROUP BY degree
 """,
     "kg_common_neighbors": f"""
 WITH {_CTE},

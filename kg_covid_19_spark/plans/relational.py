@@ -217,6 +217,30 @@ def rel_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window + lag delta per customer order history — the two
+    window shapes (frame aggregation, offset access) the first-wins rank
+    (W1) doesn't exercise. Cents-exact longs so the running sums hash
+    identically across engines regardless of summation order."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            cents.alias("price_cents"),
+            F.sum(cents).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("running_cents"),
+            (cents - F.lag(cents, 1).over(w)).alias("delta_cents"),
+        )
+    )
+
+
 def rel_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (nation → region totals) — the graph-stats
     natural hierarchy (A8 note), subtotals + grand total."""
@@ -235,6 +259,7 @@ def rel_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REL_QUERIES = {
     "rel_rollup_counts": rel_rollup_counts,
+    "rel_running_total": rel_running_total,
     "rel_filter_in": rel_filter_in,
     "rel_pair_filter": rel_pair_filter,
     "rel_broadcast_dims": rel_broadcast_dims,
@@ -347,5 +372,20 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 SELECT c_mktsegment, n_name, count(*) AS n_custs
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (c_mktsegment, n_name)
+""",
+    "rel_running_total": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_custkey <= 100
+)
+SELECT o_custkey, o_orderkey, price_cents,
+  sum(price_cents) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+  price_cents - lag(price_cents, 1) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+  ) AS delta_cents
+FROM o
 """,
 }

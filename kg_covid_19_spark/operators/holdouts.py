@@ -113,13 +113,137 @@ def holdout_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = univ.select(F.col("id").alias("subject"))
     b = univ.select(F.col("id").alias("object"))
     cand = a.crossJoin(b).filter(F.col("subject") != F.col("object"))
-    negatives = cand.join(
-        edges.select("subject", "object").distinct(), ["subject", "object"], "left_anti"
+    # Semi-filter the positives to edges with BOTH endpoints inside the
+    # (broadcastable) candidate universe before the left-anti: without it
+    # the anti-join's right side is the full edge set — a corpus-sized
+    # shuffle at 100×. With it, the heavy side is two narrow broadcast
+    # semi-joins and the anti-join operates on KBs.
+    pos = (
+        edges.select("subject", "object")
+        .join(F.broadcast(a), "subject", "semi")
+        .join(F.broadcast(b), "object", "semi")
+        .distinct()
     )
+    negatives = cand.join(pos, ["subject", "object"], "left_anti")
     return (
         negatives.orderBy(F.md5(F.concat_ws("|", "subject", "object")))
         .limit(N_NEG)
         .select("subject", "object")
+    )
+
+
+NEG_LABEL = "negative_edge"  # make_holdouts.py:119-120 defaults
+
+
+def _global_rank(df: DataFrame, n_parts: int = 32) -> DataFrame:
+    """id → dense 0-based rank in global sorted order, distributed.
+
+    A bare ``row_number() OVER (ORDER BY id)`` funnels the whole table
+    through one reducer. Instead: range-partition + local sort, local
+    row_number keyed by the physical partition id (the window exchange
+    spreads over n_parts keys), then add per-partition cumulative
+    offsets (≤n_parts rows collected — the same bookkeeping
+    zipWithIndex does). The (id → idx) mapping is global sorted rank,
+    so it is deterministic regardless of where range boundaries fall.
+    """
+    part = df.repartitionByRange(n_parts, "id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("id")
+    local = part.select("id", "pid", F.row_number().over(w).alias("lr")).persist()
+    counts = {
+        r["pid"]: r["c"]
+        for r in local.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "pid int, off long"
+        )
+    )
+    return local.join(off_df, "pid").select(
+        "id", (F.col("off") + F.col("lr") - 1).alias("idx")
+    )
+
+
+def _hash_mod(prefix: str, i: "Column", n: int) -> "Column":
+    """Deterministic uniform index: first 15 hex digits of
+    md5('<prefix>|i') mod n — the identical expression is inlined into
+    the DuckDB oracle, so both engines draw the same 'random' stream."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix + "|"), i.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+
+
+def holdout_negatives_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-semantics negative sampling at reference scale
+    (make_holdouts.py:156-231): draw 2·|E| candidate pairs with both
+    endpoints uniform over the full node universe (nodes.id ∪
+    edges.subject ∪ edges.object, sorted unique), drop ALL duplicated
+    pairs (keep=False), anti-join against distinct positives, drop
+    reflexive pairs, keep the first |E| in draw order, and emit
+    (subject, predicate, object, relation) with the reference's
+    'negative_edge' label.
+
+    The reference's ``random.randint`` stream becomes a hashed index
+    (md5 of the draw number) so both engines and any parallelism level
+    draw identically. Scale shape: universe ranking is distributed
+    (_global_rank); the two index→id joins and the positives anti-join
+    hash-partition on bounded keys; the final head-|E| is a TakeOrdered,
+    not a global sort."""
+    nodes, edges = get_merged(spark, sf_dir)
+    universe = (
+        nodes.select("id")
+        .unionAll(edges.select(F.col("subject").alias("id")))
+        .unionAll(edges.select(F.col("object").alias("id")))
+        .distinct()
+    )
+    univ = _global_rank(universe).persist()
+    n_univ = univ.count()
+    n_edges = edges.count()
+
+    draws = spark.range(0, 2 * n_edges).select(
+        F.col("id").alias("i"),
+        _hash_mod("s", F.col("id"), n_univ).alias("s_idx"),
+        _hash_mod("o", F.col("id"), n_univ).alias("o_idx"),
+    )
+    cand = (
+        draws.join(univ.withColumnRenamed("idx", "s_idx")
+                   .withColumnRenamed("id", "subject"), "s_idx")
+        .join(univ.withColumnRenamed("idx", "o_idx")
+              .withColumnRenamed("id", "object"), "o_idx")
+        .select("i", "subject", "object")
+    )
+    # pandas drop_duplicates(keep=False): drop every pair that occurs
+    # more than once among the draws.
+    uniq = (
+        cand.groupBy("subject", "object")
+        .agg(F.count("*").alias("n"), F.min("i").alias("i"))
+        .filter(F.col("n") == 1)
+    )
+    negs = (
+        uniq.join(edges.select("subject", "object").distinct(),
+                  ["subject", "object"], "left_anti")
+        .filter(F.col("subject") != F.col("object"))
+        .orderBy("i")
+        .limit(n_edges)
+    )
+    return negs.select(
+        "subject",
+        F.lit(NEG_LABEL).alias("predicate"),
+        "object",
+        F.lit(NEG_LABEL).alias("relation"),
     )
 
 
@@ -179,6 +303,48 @@ negs AS (
 SELECT subject, object FROM negs
 ORDER BY md5(subject || '|' || object) LIMIT {N_NEG}
 """,
+        "holdout_negatives_fullscale": f"""
+WITH {merged_cte},
+universe AS (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM merged_nodes
+    UNION ALL SELECT subject FROM merged_edges
+    UNION ALL SELECT object FROM merged_edges
+  )
+),
+univ AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx FROM universe
+),
+draws AS (
+  SELECT i,
+    ('0x' || substr(md5('s|' || i), 1, 15))::UBIGINT
+      % (SELECT count(*) FROM univ) AS s_idx,
+    ('0x' || substr(md5('o|' || i), 1, 15))::UBIGINT
+      % (SELECT count(*) FROM univ) AS o_idx
+  FROM (SELECT unnest(range(0, 2 * (SELECT count(*) FROM merged_edges))) AS i)
+),
+cand AS (
+  SELECT d.i, s.id AS subject, o.id AS object
+  FROM draws d
+  JOIN univ s ON d.s_idx = s.idx
+  JOIN univ o ON d.o_idx = o.idx
+),
+uniq AS (
+  SELECT subject, object, min(i) AS i FROM cand
+  GROUP BY subject, object HAVING count(*) = 1
+),
+negs AS (
+  SELECT u.subject, u.object, u.i FROM uniq u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged_edges e
+    WHERE e.subject = u.subject AND e.object = u.object
+  ) AND u.subject <> u.object
+  ORDER BY i LIMIT (SELECT count(*) FROM merged_edges)
+)
+SELECT subject, '{NEG_LABEL}' AS predicate, object,
+       '{NEG_LABEL}' AS relation
+FROM negs
+""",
     }
 
 
@@ -186,6 +352,7 @@ HOLDOUT_QUERIES = {
     "holdout_split_counts": holdout_split_counts,
     "holdout_connected_split_counts": holdout_connected_split_counts,
     "holdout_negative_edges": holdout_negative_edges,
+    "holdout_negatives_fullscale": holdout_negatives_fullscale,
 }
 
 

@@ -63,6 +63,35 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Two-phase exact top-k per query — the de-skewed final stage.
+
+    A single ``Window.partitionBy("query_id")`` over the full scored set
+    funnels every scored row into ≤|queries| reducer partitions — fine at
+    sf0.1, a scale-killer when a 100-TB corpus is scored against a small
+    query set. Phase 1 ranks within (input partition, query) — the
+    exchange key ``(pid, query_id)`` spreads over n_partitions×|queries|
+    buckets — and keeps ≤k rows per key; phase 2 ranks the surviving
+    ≤n_partitions×|queries|×k rows per query. Exactness: the per-query
+    sort key (sim DESC, neighbor_id ASC) is total (neighbor_id unique),
+    so the global top-k is a subset of the union of phase-1 top-ks.
+    """
+    order = (F.desc("sim"), F.asc("neighbor_id"))
+    local = Window.partitionBy("pid", "query_id").orderBy(*order)
+    final = Window.partitionBy("query_id").orderBy(*order)
+    pruned = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local))
+        .filter(F.col("lrank") <= k)
+        .drop("pid", "lrank")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast query set × streamed corpus."""
     vecs = _vectors(spark, sf_dir)
@@ -80,12 +109,7 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _topk(scored)
 
 
 def _bucket(v: Column) -> Column:
@@ -121,12 +145,7 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _topk(scored)
 
 
 NEARDUP_THRESHOLD = 0.4  # sf-series embeddings have no planted dups; 0.4
@@ -258,12 +277,7 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _topk(scored)
 
 
 def _planes_sql(p: int) -> str:

@@ -159,22 +159,7 @@ def build_kg(spark: SparkSession, sf_dir: str,
     # co-occurrence pairs expanded row-locally from the sorted mention array
     # (i < j ⇒ s < o), then deduped on the edge key.
     pairs = (
-        mid.select(
-            F.explode_outer(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "curies",
-                            lambda a: F.transform(
-                                F.col("curies"),
-                                lambda b: F.struct(a.alias("s"), b.alias("o")),
-                            ),
-                        )
-                    ),
-                    lambda p: p["s"] < p["o"],
-                )
-            ).alias("p")
-        )
+        mid.select(F.explode_outer(pair_expand(F.col("curies"))).alias("p"))
         .filter(F.col("p").isNotNull())
         .select(F.col("p.s").alias("subject"), F.col("p.o").alias("object"))
     )
@@ -205,6 +190,25 @@ def build_kg(spark: SparkSession, sf_dir: str,
 
 _KG_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _MENTION_CACHE: dict[tuple, DataFrame] = {}
+_ARRAY_CACHE: dict[tuple, DataFrame] = {}
+
+
+def pair_expand(curies) -> "F.Column":  # type: ignore[name-defined]
+    """Row-local ordered-pair expansion of a sorted mention array:
+    array<string> → array<struct<s,o>> with s < o. Zero shuffle — the
+    scale-safe alternative to a mentions self-join on doc_id (which at
+    100 TB shuffles the whole corpus on a corpus-sized key)."""
+    return F.filter(
+        F.flatten(
+            F.transform(
+                curies,
+                lambda a: F.transform(
+                    curies, lambda b: F.struct(a.alias("s"), b.alias("o"))
+                ),
+            )
+        ),
+        lambda p: p["s"] < p["o"],
+    )
 
 
 def get_kg(spark: SparkSession, sf_dir: str,
@@ -230,3 +234,19 @@ def get_mentions(spark: SparkSession, sf_dir: str,
         m.count()
         _MENTION_CACHE[key] = m
     return _MENTION_CACHE[key]
+
+
+def get_mention_arrays(spark: SparkSession, sf_dir: str,
+                       langs: tuple[str, ...] | None = None) -> DataFrame:
+    """Materialized (doc_id, curies:array<string>) projection — the compact
+    per-document mention set that row-local pair expansion reads from."""
+    key = (spark.sparkContext.applicationId, sf_dir, langs)
+    if key not in _ARRAY_CACHE:
+        pm = (
+            pages_with_mentions(spark, sf_dir, langs)
+            .select("doc_id", "curies")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pm.count()
+        _ARRAY_CACHE[key] = pm
+    return _ARRAY_CACHE[key]

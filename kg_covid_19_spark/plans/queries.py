@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dictionaries import kg_cte_sql
-from .pipeline import get_kg, get_mentions
+from .pipeline import get_kg, get_mention_arrays, get_mentions, pair_expand
 
 # The hub entity for the hop queries — the reference's SARS-CoV-2 anchor
 # (queries/query-03-sars-cov-2-interactors.rq) becomes our most-canonical
@@ -174,15 +174,20 @@ def kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pair co-occurrence support counts (A2 with counts kept — the scale
-    variant of pair dedup: partial-agg-friendly groupBy over ≤|dict|² keys)."""
-    m = get_mentions(spark, sf_dir)
-    a = m.alias("a")
-    b = m.alias("b")
+    """Pair co-occurrence support counts (A2 with counts kept).
+
+    Pairs are expanded row-locally from each document's sorted mention
+    array (plans/pipeline.pair_expand) — NOT via a mentions self-join on
+    doc_id, which at 100 TB would shuffle the whole corpus on a
+    corpus-sized key. The only shuffle is the final groupBy over
+    ≤|dictionary|² pair keys, collapsed map-side by partial aggregation."""
+    pm = get_mention_arrays(spark, sf_dir)
     return (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-               & (F.col("a.curie") < F.col("b.curie")))
-        .groupBy(F.col("a.curie").alias("subject"), F.col("b.curie").alias("object"))
+        pm.select(F.explode_outer(pair_expand(F.col("curies"))).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(
+            F.col("p.s").alias("subject"), F.col("p.o").alias("object")
+        )
         .agg(F.count("*").alias("n_docs"))
     )
 

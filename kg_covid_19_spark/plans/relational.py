@@ -221,11 +221,16 @@ def rel_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window + lag delta per customer order history — the two
     window shapes (frame aggregation, offset access) the first-wins rank
     (W1) doesn't exercise. Cents-exact longs so the running sums hash
-    identically across engines regardless of summation order."""
+    identically across engines regardless of summation order.
+
+    Cents are derived via an exact decimal path (cast to DECIMAL(15,2)
+    first, then multiply by 100) — never `round(double*100)`, whose
+    half-up-on-decimal-string (Spark) vs round-on-binary-value (DuckDB)
+    divergence is engine-dependent."""
     w = Window.partitionBy("o_custkey").orderBy(
         F.asc("o_orderdate"), F.asc("o_orderkey")
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
     return (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") <= 100)
@@ -376,7 +381,7 @@ GROUP BY ROLLUP (c_mktsegment, n_name)
     "rel_running_total": """
 WITH o AS (
   SELECT o_custkey, o_orderkey, o_orderdate,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS price_cents
   FROM orders WHERE o_custkey <= 100
 )
 SELECT o_custkey, o_orderkey, price_cents,

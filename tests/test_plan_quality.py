@@ -59,3 +59,43 @@ def test_filter_in_pushed_to_scan(spark):
     plan = _executed_plan(REL_QUERIES["rel_filter_in"](spark, SF_DIR))
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert re.search(r"l_returnflag#\d+ IN \(A,N\)", scan)
+
+
+def test_cooccurrence_counts_no_docid_join(spark):
+    """kg_cooccurrence_counts must derive pairs row-locally from the
+    per-doc mention array — never a mentions self-join on doc_id (a
+    corpus-sized shuffle at 100x). Distinct langs arg cache-busts the
+    session-persisted mention frames."""
+    from kg_covid_19_spark.plans.pipeline import (
+        pages_with_mentions, pair_expand,
+    )
+
+    pm = pages_with_mentions(spark, SF_DIR, langs=("en", "de", "fr", "es", "xx"))
+    q = (
+        pm.select(F.explode_outer(pair_expand(F.col("curies"))).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.s").alias("subject"), F.col("p.o").alias("object"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    plan = _executed_plan(q)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no join of any kind
+    # exactly one aggregation exchange (the bounded pair-key groupBy)
+    assert len(re.findall(r"Exchange (?!SinglePartition)", plan)) <= 2, plan
+
+
+def test_topk_is_two_phase(spark):
+    """The ANN top-k must prune per-partition before the per-query rank:
+    two Window nodes, the first keyed by (pid, query_id) so no stage
+    collapses to <=N_QUERIES partitions."""
+    from kg_covid_19_spark.operators.similarity import emb_knn_bruteforce
+
+    plan = _executed_plan(emb_knn_bruteforce(spark, SF_DIR))
+    windows = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert len(windows) == 2, plan
+    # phase-1 window partitions by the physical-partition column too
+    assert any("pid" in w and "query_id" in w for w in windows), windows
+    # the exchange feeding the final per-query window reads the pruned
+    # set: there must be an exchange on (pid, query_id) upstream
+    assert re.search(r"hashpartitioning\(pid#\d+", plan), plan

@@ -27,8 +27,12 @@ TABLES = (
 
 
 def _norm(v):
+    # NULL gets a sentinel no real value can produce, so a Spark NULL vs
+    # DuckDB empty-string divergence fails locally instead of only in the
+    # external driver (stricter-than-driver is always safe: strict match
+    # implies match under any coarser normalization).
     if v is None:
-        return ""
+        return "\x00NULL"
     if isinstance(v, float):
         return f"{v:.10g}"
     if isinstance(v, Decimal):

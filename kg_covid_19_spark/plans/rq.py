@@ -28,20 +28,35 @@ RQ_TO_PLAN = {
 }
 
 _FRONT = re.compile(r"^=\+ (\S+) (.*)$")
+_FRONT_ANY = re.compile(r"^=\+ ")
 
 
 def parse_query_rq(rq_file: str) -> dict:
     """grlc front-matter + SPARQL body → dict (query.py:18-41 contract:
     `=+ key value` lines become entries, everything else concatenates —
-    blank lines dropped — into `query`)."""
+    blank lines dropped — into `query`).
+
+    A front-matter line with a key but no value (`=+ key`) raises
+    ValueError, exactly like the reference's two-element unpack of
+    ``split(" ", maxsplit=1)`` (query.py:34-36) — not silently treated
+    as SPARQL body."""
     meta: dict[str, str] = {}
     body: list[str] = []
     with open(rq_file) as fh:
         for line in fh:
-            m = _FRONT.match(line)
+            if line.isspace():
+                continue
+            # rstrip BEFORE matching: the reference rstrips before its
+            # split, so `=+ key   ` (trailing blanks only) also raises
+            m = _FRONT.match(line.rstrip())
             if m:
-                meta[m.group(1)] = m.group(2).rstrip()
-            elif not line.isspace():
+                meta[m.group(1)] = m.group(2)
+            elif _FRONT_ANY.match(line):
+                raise ValueError(
+                    f"malformed grlc front-matter (key without value): "
+                    f"{line.rstrip()!r}"
+                )
+            else:
                 body.append(line)
     return {**meta, "query": "".join(body)}
 

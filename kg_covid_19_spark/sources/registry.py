@@ -19,11 +19,13 @@ raises NotImplementedError, mirroring the missing tabula dependency.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .chembl import chembl_transform
+from .obojson import ONTOLOGY_FILES, ontology_file_transform
 from .gene_annot import gene_annot_transform
 from .intact import intact_transform
 from .kgx import write_kgx
@@ -33,7 +35,12 @@ from .rdf import gocam_transform
 from .reference_parity import drug_central_transform, string_transform
 from .scibite import scibite_transform
 from .ttd import ttd_transform
-from .zhou import read_pdf_tables, zhou_transform
+from .zhou import (
+    SIDECAR_FILE,
+    read_pdf_tables,
+    read_table_sidecar,
+    zhou_transform,
+)
 
 TransformFn = Callable[..., tuple[DataFrame, DataFrame]]
 
@@ -43,9 +50,20 @@ def _scibite(spark: SparkSession, input_dir: str, **kw):
     return an.unionByName(cn), ae.unionByName(ce)
 
 
-def _ontology(spark: SparkSession, input_dir: str, **kw):
-    # synthesized broadcast ontology (S8); input_dir unused by design
-    return ontology_nodes(spark), ontology_edges(spark)
+def _ontology_for(source: str) -> TransformFn:
+    """Go/Hp/Mondo/Chebi adapter: parse the source's real obojson file
+    (sources/obojson.py, reference ontology_transform.py:48-71) when it
+    exists under the input dir; fall back to the synthesized broadcast
+    ontology (S8) when it doesn't — the hermetic-sandbox analog of the
+    reference's downloaded hp/go-plus/mondo/chebi files."""
+
+    def adapter(spark: SparkSession, input_dir: str, **kw):
+        path = f"{input_dir}/{ONTOLOGY_FILES[source]}"
+        if os.path.exists(path):
+            return ontology_file_transform(spark, input_dir, source)
+        return ontology_nodes(spark), ontology_edges(spark)
+
+    return adapter
 
 
 def _gocam(spark: SparkSession, input_dir: str,
@@ -90,9 +108,14 @@ def _chembl(spark: SparkSession, input_dir: str, **kw):
 def _zhou(spark: SparkSession, input_dir: str, rows: DataFrame | None = None,
           **kw):
     if rows is None:
-        rows = read_pdf_tables(  # raises NotImplementedError (no tabula)
-            spark, f"{input_dir}/41421_2020_153_MOESM1_ESM.pdf"
-        )
+        sidecar = f"{input_dir}/{SIDECAR_FILE}"
+        if os.path.exists(sidecar):
+            # pre-extracted tabula JSON → runnable without the PDF libs
+            rows = read_table_sidecar(spark, sidecar)
+        else:
+            rows = read_pdf_tables(  # raises NotImplementedError (no tabula)
+                spark, f"{input_dir}/41421_2020_153_MOESM1_ESM.pdf"
+            )
     return zhou_transform(spark, rows, **kw)
 
 
@@ -106,10 +129,10 @@ DATA_SOURCES: dict[str, TransformFn] = {
     "PharmGKB": _pharmgkb,
     "SARSCoV2GeneAnnot": _gene_annot,
     "IntAct": _intact,
-    "GoTransform": _ontology,
-    "HpTransform": _ontology,
-    "MondoTransform": _ontology,
-    "ChebiTransform": _ontology,
+    "GoTransform": _ontology_for("GoTransform"),
+    "HpTransform": _ontology_for("HpTransform"),
+    "MondoTransform": _ontology_for("MondoTransform"),
+    "ChebiTransform": _ontology_for("ChebiTransform"),
     "GocamTransform": _gocam,
     "ChemblTransform": _chembl,
 }

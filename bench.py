@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from kg_covid_19_spark.operators.dedup import DEDUP_QUERIES  # noqa: E402
+from kg_covid_19_spark.operators.similarity import SIM_QUERIES  # noqa: E402
 from kg_covid_19_spark.operators.triples import kg_openie_triples  # noqa: E402
+from kg_covid_19_spark.plans.corpus_export import corpus_export  # noqa: E402
 from kg_covid_19_spark.plans.pipeline import get_kg  # noqa: E402
 from kg_covid_19_spark.plans.queries import KG_QUERIES  # noqa: E402
 from kg_covid_19_spark.session import get_spark  # noqa: E402
@@ -37,6 +40,22 @@ BENCH_QUERIES = [
     "kg_mention_counts",
     "kg_cooccurrence_counts",
 ]
+
+# LLM-pipeline operator suite (dedup / similarity / corpus export) —
+# benched alongside the KG chain so scale regressions there surface in
+# BENCH_r* too, not just in correctness.
+PIPELINE_BENCH = {
+    "doc_dedup_exact": DEDUP_QUERIES["doc_dedup_exact"],
+    "doc_minhash_candidates": DEDUP_QUERIES["doc_minhash_candidates"],
+    "doc_neardup_pairs": DEDUP_QUERIES["doc_neardup_pairs"],
+    "doc_simhash_neardup": DEDUP_QUERIES["doc_simhash_neardup"],
+    "doc_decontaminate": DEDUP_QUERIES["doc_decontaminate"],
+    "emb_knn_bruteforce": SIM_QUERIES["emb_knn_bruteforce"],
+    "emb_lsh_ann": SIM_QUERIES["emb_lsh_ann"],
+    "emb_cosine_neardup": SIM_QUERIES["emb_cosine_neardup"],
+    "emb_ivf_ann": SIM_QUERIES["emb_ivf_ann"],
+    "corpus_export": corpus_export,
+}
 
 
 def main() -> None:
@@ -62,6 +81,11 @@ def main() -> None:
     t0 = time.time()
     kg_openie_triples(spark, SF_DIR).agg(F.count("*")).collect()
     queries["kg_openie_triples"] = round(time.time() - t0, 3)
+
+    for name, fn in PIPELINE_BENCH.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).agg(F.count("*")).collect()
+        queries[name] = round(time.time() - t0, 3)
 
     total = sum(queries.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

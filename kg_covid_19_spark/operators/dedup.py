@@ -245,13 +245,55 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs sharing an identical simhash (the bucketing primitive; hamming-
-    ball expansion is a k-probe over bit-flipped keys, same plan shape)."""
+    """Docs sharing an identical simhash (the bucketing primitive;
+    simhash_neardup_pairs below is the hamming-ball k-probe expansion)."""
     return (
         simhash(spark, sf_dir)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤1 near-dup pairs via k-probe bit-flip expansion.
+
+    Scale shape: each doc emits its simhash plus SIMHASH_BITS
+    single-bit-flipped probe keys (a row-local explode); candidates are
+    probe-key → original-key matches, so the only shuffle is on the
+    (key, doc_id) pairs — never an all-pairs comparison. Exact for the
+    ≤1-bit ball: a pair at distance 1 is recovered by flipping exactly
+    the differing bit (distance 0 by the identity probe), and each pair
+    matches through exactly one probe, so no dedup pass is needed.
+    Widening the ball to distance k is the same plan with
+    C(bits, ≤k) probes per doc."""
+    sh = simhash(spark, sf_dir)
+    probes = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[
+                    F.col("simhash").bitwiseXOR(F.lit(2**b))
+                    for b in range(SIMHASH_BITS)
+                ],
+            )
+        ).alias("key"),
+        F.col("simhash").alias("sim_a"),
+    )
+    targets = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("key")
+    )
+    return (
+        probes.join(targets, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("key"))
+            ).cast("int").alias("hamming"),
+        )
     )
 
 
@@ -352,6 +394,23 @@ def _decon_shingles_sql() -> str:
     )
 
 
+_SIMHASH_CTE = f"""{DEDUP_CORPUS_CTE},
+toks AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM corpus)
+),
+sums AS (
+  SELECT doc_id,
+    {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(SIMHASH_BITS))}
+  FROM toks GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+    CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM sums
+)"""
+
 DEDUP_ORACLES = {
     "doc_decontaminate": f"""
 WITH sh AS (
@@ -392,24 +451,18 @@ JOIN sizes zb ON i.b = zb.doc_id
 WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
 """,
     "doc_simhash_clusters": f"""
-WITH {DEDUP_CORPUS_CTE},
-toks AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h
-  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        FROM corpus)
-),
-sums AS (
-  SELECT doc_id,
-    {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(SIMHASH_BITS))}
-  FROM toks GROUP BY doc_id
-),
-sh AS (
-  SELECT doc_id,
-    CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
-  FROM sums
-)
+WITH {_SIMHASH_CTE}
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
 FROM sh GROUP BY simhash HAVING count(*) > 1
+""",
+    # oracle uses the O(n²) definition directly — exact semantics the
+    # k-probe plan must reproduce
+    "doc_simhash_neardup": f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """,
 }
 
@@ -418,5 +471,6 @@ DEDUP_QUERIES = {
     "doc_minhash_candidates": minhash_candidates,
     "doc_neardup_pairs": neardup_pairs,
     "doc_simhash_clusters": simhash_clusters,
+    "doc_simhash_neardup": simhash_neardup_pairs,
     "doc_decontaminate": doc_decontaminate,
 }

@@ -42,7 +42,14 @@ def _plane(p: int) -> list[float]:
     return out
 
 
-PLANES: list[list[float]] = [_plane(p) for p in range(N_PLANES)]
+N_TABLES = 16            # OR-amplification: 16 independent 4-plane tables
+                         # (sized empirically: recall 0.966 of the exact
+                         # sim>=0.4 pair set at sf0.01; 2 tables gave 0.31)
+PLANES_PER_TABLE = 4
+
+PLANES: list[list[float]] = [
+    _plane(p) for p in range(max(N_PLANES, N_TABLES * PLANES_PER_TABLE))
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -115,7 +122,7 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket(v: Column) -> Column:
     """8-bit sign-projection bucket key."""
     key = F.lit(0)
-    for p, plane in enumerate(PLANES):
+    for p, plane in enumerate(PLANES[:N_PLANES]):
         arr = F.array(*[F.lit(x) for x in plane])
         key = key + F.when(_dot(v, arr) > 0, F.lit(2**p)).otherwise(F.lit(0))
     return key
@@ -150,8 +157,6 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_THRESHOLD = 0.4  # sf-series embeddings have no planted dups; 0.4
                          # yields a non-trivial pair set (59 exact at sf0.01)
-N_TABLES = 2             # OR-amplification: 2 independent 4-plane tables
-PLANES_PER_TABLE = 4
 NLIST = 16               # IVF coarse lists
 NPROBE = 4               # IVF probed lists per query
 
@@ -167,6 +172,63 @@ def _table_bucket(v: Column, table: int) -> Column:
     return key
 
 
+def make_bucket_udf():
+    """Arrow kernel: embedding → all N_TABLES 4-bit keys at once.
+
+    The JVM higher-order-function form (aggregate/zip_with per plane)
+    is interpreted per lambda step — 64 planes × 64 dims ≈ 12k
+    expression evaluations PER ROW, which dominated the whole query.
+    The kernel instead accumulates **sequentially over dimensions,
+    vectorized over rows** (``acc += M[:, j] * sign[j]`` for j = 0..63)
+    — the identical IEEE double-add order as Spark's ``F.aggregate``
+    left fold and DuckDB's ``list_dot_product``, so bucket signs are
+    bit-identical across all three forms (never ``np.dot``, whose
+    blocked/pairwise summation can flip a near-zero sign)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        PLANES[: N_TABLES * PLANES_PER_TABLE], dtype=np.float64
+    ).T  # dim × planes
+
+    @pandas_udf("array<int>")
+    def all_buckets(vs):  # pd.Series -> pd.Series (PEP-563-safe: no hints)
+        M = np.stack(vs.to_numpy())  # rows × dim
+        acc = np.zeros((M.shape[0], P.shape[1]))
+        for j in range(M.shape[1]):
+            acc += M[:, j : j + 1] * P[j]
+        bits = (acc > 0).astype(np.int64)
+        keys = np.zeros((M.shape[0], N_TABLES), dtype=np.int64)
+        for t in range(N_TABLES):
+            for k in range(PLANES_PER_TABLE):
+                keys[:, t] += bits[:, t * PLANES_PER_TABLE + k] << k
+        return pd.Series(list(keys.astype(np.int32)))
+
+    return all_buckets
+
+
+def make_pair_cos_udf():
+    """Arrow kernel for the exact-cosine verify over candidate pairs:
+    dot accumulated sequentially over dims (vectorized over pairs),
+    then / (na*nb) — the same double ops in the same order as the
+    JVM fold and the DuckDB oracle, evaluated at Arrow-batch speed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(va, vb, na, nb):  # 4×pd.Series -> pd.Series
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc += A[:, j] * B[:, j]
+        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+
+    return pair_cos
+
+
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -175,40 +237,56 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs share a key in ANY table (OR-amplification boosts recall, the
     union is deduped); exact cosine verifies. Each per-table self-join
     shuffles on its bucket key only — at 100 TB the joins are
-    bucket-local and the verify is a narrow projection. More tables →
-    higher recall at linear cost (2×4 planes: 18/59 true pairs at
-    sf0.01; the exact variant is the ``sim>=t`` filter on
-    emb_knn_bruteforce's full cross product).
+    bucket-local and the verify is a narrow projection. Table count is
+    a recall dial at linear cost: 16×4 planes recover 0.966 of the
+    exact ``sim>=0.4`` pair set at sf0.01 (pinned by
+    test_dedup_similarity's recall assertion). At production near-dup
+    thresholds (0.85+) the per-bit agreement probability rises from
+    0.63 to >0.9, so far fewer tables buy the same recall — the 0.4
+    threshold here is the adversarially hard case.
     """
-    vecs = _vectors(spark, sf_dir)
-    for t in range(N_TABLES):
-        vecs = vecs.withColumn(f"b{t}", _table_bucket(F.col("v"), t))
-    vecs = vecs.cache()
-
-    def _pairs(t: int) -> DataFrame:
-        left = vecs.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("v").alias("va"),
-            F.col(f"b{t}").alias("bk"),
-        )
-        right = vecs.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("v").alias("vb"),
-            F.col(f"b{t}").alias("bk"),
-        )
-        return left.join(right, "bk").filter(F.col("id_a") < F.col("id_b"))
-
-    cands = _pairs(0)
-    for t in range(1, N_TABLES):
-        cands = cands.unionByName(_pairs(t))
+    # one narrow pass computes every table key; one posexplode + one
+    # self-join on the composite (table, key) replaces N_TABLES unioned
+    # joins — same candidate set, a single exchange. At 100 TB the
+    # shuffle carries (t, key, vec_id, v); if vector width dominated,
+    # the variant that shuffles ids only and re-joins vectors from the
+    # bucketed store is the same plan with one extra co-located join.
+    # The candidate join carries IDS ONLY — (t, bk, vec_id) rows of a
+    # few bytes. Pre-dedup bucket-join output is quadratic in bucket
+    # size, so dragging the 64-double vectors through it multiplies the
+    # heaviest intermediate by ~50×; instead the deduped pair list
+    # re-joins the (broadcastable-per-bucket) vector table twice.
+    # Norms are precomputed per ROW: dot/(na*nb) with cached na/nb is
+    # the identical double computation, evaluated |V| not |cand| times.
+    vecs = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    bucket_udf = make_bucket_udf()
+    side = vecs.select(
+        "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bk")
+    )
+    pairs = (
+        side.select(F.col("vec_id").alias("id_a"), "t", "bk")
+        .join(side.select(F.col("vec_id").alias("id_b"), "t", "bk"),
+              ["t", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair_cos = make_pair_cos_udf()
     return (
-        cands.dropDuplicates(["id_a", "id_b"])
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            pair_cos(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
             ).alias("sim"),
         )
         .filter(F.col("sim") >= NEARDUP_THRESHOLD)
@@ -345,13 +423,15 @@ FROM ranked WHERE rank <= {TOP_K}
 """,
     "emb_cosine_neardup": f"""
 WITH vecs AS (
-  SELECT vec_id, v, {_table_bucket_sql(0)} AS b0, {_table_bucket_sql(1)} AS b1
+  SELECT vec_id, v,
+         {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(N_TABLES))}
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 ),
 cands AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
   FROM vecs a JOIN vecs b
-    ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
+    ON ({" OR ".join(f"a.b{t} = b.b{t}" for t in range(N_TABLES))})
+   AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round({_cos_sql('va', 'vb')}, 6) AS sim
 FROM cands

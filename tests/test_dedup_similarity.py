@@ -104,6 +104,9 @@ def test_cosine_neardup_blocked_subset_of_exact(spark):
     assert set(got) <= exact  # LSH blocking never invents pairs
     assert all(s >= NEARDUP_THRESHOLD for s in got.values())
     assert all(i < j for i, j in got)
+    # recall gate (VERDICT r1): the 16-table OR-amplification must
+    # recover >=0.9 of the exact sim>=t pair set, not just a sample
+    assert len(got) >= 0.9 * len(exact), (len(got), len(exact))
 
 
 def test_ivf_ann_neighbors_within_bruteforce_bounds(spark):

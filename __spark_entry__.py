@@ -27,6 +27,10 @@ from kg_covid_19_spark.streaming.events import EVENTS_ORACLES, EVENTS_QUERIES
 from kg_covid_19_spark.operators.triples import TRIPLES_ORACLES, TRIPLES_QUERIES
 from kg_covid_19_spark.plans.corpus_export import EXPORT_ORACLES, EXPORT_QUERIES
 from kg_covid_19_spark.functions.urls import URL_ORACLES, URL_QUERIES
+from kg_covid_19_spark.operators.sampling import (
+    SAMPLING_ORACLES,
+    SAMPLING_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TRIPLES_QUERIES)
     out.update(EXPORT_QUERIES)
     out.update(URL_QUERIES)
+    out.update(SAMPLING_QUERIES)
     return out
 
 
@@ -65,4 +70,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(TRIPLES_ORACLES)
     out.update(EXPORT_ORACLES)
     out.update(URL_ORACLES)
+    out.update(SAMPLING_ORACLES)
     return out

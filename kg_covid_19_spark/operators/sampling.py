@@ -1,0 +1,144 @@
+"""Corpus sampling / mixing operators (training-data pipeline suite).
+
+No reference analog — kg-covid-19 samples only for ML holdouts
+(make_holdouts.py, see operators/holdouts.py); these are the
+corpus-construction counterparts every large-scale training-data
+pipeline needs: stratified down-sampling (keep x% of each language /
+source stratum) and epoch-style up-sampling (repeat low-resource
+strata with fractional weights).
+
+Both are hash-gated, not RNG-gated: a document's fate is a pure
+function of its id, so results are identical across runs, engines,
+parallelism levels and resumed checkpoints — `rand()`-based sampling is
+none of those. Both are narrow single-pass scans: zero shuffles, the
+predicate/explode runs map-side, and the hash expression is inlined
+identically into the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.corpus import read_table
+
+PPM = 1_000_000
+
+# stratified keep-rates (parts per million) per language stratum —
+# down-weight the over-represented head, keep the tail
+SAMPLE_RATES_PPM = {
+    "en": 750_000,
+    "de": 500_000,
+    "fr": 500_000,
+    "es": 500_000,
+    "zh": 250_000,
+}
+
+# epoch-mix weights: average copies per document, fractional part
+# resolved by hash gate (e.g. 2.5 → every doc twice, half of them a
+# third time)
+EPOCH_WEIGHTS = {
+    "en": 1.0,
+    "de": 2.5,
+    "fr": 2.5,
+    "es": 2.5,
+    "zh": 4.0,
+}
+
+
+def _hash_ppm(tag: str, doc_id: Column) -> Column:
+    """Uniform [0, 1e6) gate from md5('<tag>|doc_id') — the same
+    expression the DuckDB oracle inlines, so both engines draw the
+    identical stream (never rand(): partition-order dependent)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag + "|"), doc_id.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % PPM
+    )
+
+
+def _rate_expr(rates: dict[str, int], lang: Column) -> Column:
+    expr: Column = F.lit(0)
+    for lg, rate in sorted(rates.items()):
+        expr = F.when(lang == lg, F.lit(rate)).otherwise(expr)
+    return expr
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a document iff its hash
+    gate falls under its language's keep-rate. Unknown strata default
+    to rate 0 (dropped) — the conservative corpus-mixing behavior."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = _rate_expr(SAMPLE_RATES_PPM, F.col("lang"))
+    return docs.filter(_hash_ppm("strat", F.col("doc_id")) < rate)
+
+
+def doc_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style up-sampling: each document appears floor(w) times
+    plus one more iff its hash gate falls under frac(w) — so a stratum
+    with weight w contributes w× its documents in expectation, exactly
+    and deterministically. Output (doc_id, lang, copy) with copy in
+    [0, n_copies). Row-local explode — no shuffle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w_ppm = _rate_expr(
+        {lg: int(round(w * PPM)) for lg, w in EPOCH_WEIGHTS.items()},
+        F.col("lang"),
+    )
+    base = (w_ppm / PPM).cast("long")  # floor for non-negative weights
+    extra = F.when(
+        _hash_ppm("epoch", F.col("doc_id")) < (w_ppm % PPM), F.lit(1)
+    ).otherwise(F.lit(0))
+    n_copies = (base + extra).alias("n_copies")
+    return (
+        docs.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy"),
+        )
+    )
+
+
+def _rate_sql(rates: dict[str, int]) -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {rate}" for lg, rate in sorted(rates.items())
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def _hash_ppm_sql(tag: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{tag}|' || doc_id), 1, 15))::UBIGINT"
+        f" % {PPM})"
+    )
+
+
+SAMPLING_ORACLES = {
+    "doc_stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_hash_ppm_sql('strat')} < {_rate_sql(SAMPLE_RATES_PPM)}
+""",
+    "doc_epoch_mix": f"""
+WITH w AS (
+  SELECT doc_id, lang,
+    ({_rate_sql({lg: int(round(wt * PPM)) for lg, wt in EPOCH_WEIGHTS.items()})} // {PPM})
+    + (CASE WHEN {_hash_ppm_sql('epoch')} <
+        ({_rate_sql({lg: int(round(wt * PPM)) for lg, wt in EPOCH_WEIGHTS.items()})} % {PPM})
+       THEN 1 ELSE 0 END) AS n_copies
+  FROM documents
+)
+SELECT doc_id, lang, unnest(range(0, n_copies)) AS copy
+FROM w WHERE n_copies > 0
+""",
+}
+
+SAMPLING_QUERIES = {
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_epoch_mix": doc_epoch_mix,
+}

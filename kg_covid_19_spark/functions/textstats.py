@@ -167,6 +167,53 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII redaction patterns — shared Java-regex / RE2 subset only (no
+# lookarounds, memory rule). Order matters: emails before bare domains.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: F.Column) -> F.Column:
+    """Training-corpus PII scrub: emails, IPv4s, phone-like digit runs →
+    typed placeholders. Pure regexp_replace chain (codegen, zero
+    Python); the same patterns run in the DuckDB oracle with the 'g'
+    flag (DuckDB replaces first-match by default, Spark replaces all)."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def txt_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction demo over the corpus. The synthetic text is digit-free,
+    so PII is injected deterministically from doc_id first (email + IP +
+    phone per doc) — the oracle builds the identical string and redacts
+    with the identical patterns, making the check non-vacuous for all
+    three pattern families."""
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.lit("contact u"), did, F.lit("@mail.example.org ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 tel +1 555-00"),
+        did, F.lit(" "), F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(redact_pii(injected), 1, 80).alias("redacted_head"),
+    )
+
+
+def _redact_sql(expr: str) -> str:
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
+
+
 TEXTSTATS_ORACLES = {
     "txt_repetition": """
 WITH toks AS (
@@ -221,6 +268,14 @@ SELECT doc_id, md5(text) AS fp_exact,
   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_set
 FROM documents
 """,
+    "txt_redact_pii": f"""
+SELECT doc_id,
+  substr({_redact_sql(
+      "('contact u' || doc_id || '@mail.example.org ip 10.0.' "
+      "|| (doc_id % 256) || '.7 tel +1 555-00' || doc_id || ' ' || text)"
+  )}, 1, 80) AS redacted_head
+FROM documents
+""",
 }
 
 TEXTSTATS_QUERIES = {
@@ -229,4 +284,5 @@ TEXTSTATS_QUERIES = {
     "txt_lang_id": txt_lang_id,
     "txt_fingerprint": txt_fingerprint,
     "txt_repetition": txt_repetition,
+    "txt_redact_pii": txt_redact_pii,
 }

@@ -394,6 +394,32 @@ def _decon_shingles_sql() -> str:
     )
 
 
+def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated substrings: every {DECON_N}-token
+    shingle appearing in ≥2 distinct documents, with doc- and
+    occurrence-counts — the k-gram approximation of suffix-array
+    substring dedup used to strip boilerplate from training corpora.
+
+    Scale shape: the groupBy keys on the shingle itself (corpus-sized —
+    inherent to exact substring dedup); map-side partial aggregation
+    absorbs within-partition repeats (boilerplate is exactly what
+    repeats within a partition), AQE handles residual hot shingles, and
+    the output is bounded by the duplicated set, not the corpus."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(_ngrams(F.col("text"), DECON_N)).alias("ng")
+    )
+    return (
+        sh.groupBy("ng")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("ng").alias("ngram_hash"), "n_docs", "n_occurrences")
+    )
+
+
 _SIMHASH_CTE = f"""{DEDUP_CORPUS_CTE},
 toks AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h
@@ -464,6 +490,21 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """,
+    "doc_dup_ngrams": f"""
+WITH sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(string_split(text, ' ')) >= {DECON_N} THEN
+      list_transform(
+        generate_series(1, len(string_split(text, ' ')) - {DECON_N - 1}),
+        i -> array_to_string(
+          list_slice(string_split(text, ' '), i, i + {DECON_N - 1}), ' '))
+    ELSE [] END) AS ng
+  FROM documents
+)
+SELECT md5(ng) AS ngram_hash, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM sh GROUP BY ng HAVING count(DISTINCT doc_id) >= 2
+""",
 }
 
 DEDUP_QUERIES = {
@@ -472,5 +513,6 @@ DEDUP_QUERIES = {
     "doc_neardup_pairs": neardup_pairs,
     "doc_simhash_clusters": simhash_clusters,
     "doc_simhash_neardup": simhash_neardup_pairs,
+    "doc_dup_ngrams": doc_dup_ngrams,
     "doc_decontaminate": doc_decontaminate,
 }

@@ -105,6 +105,54 @@ def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent view at
+    or before it (the time-series join the reference lacks; a custom
+    operator per the engine brief).
+
+    Spark-first shape — NOT a range join: union both streams with a
+    marker, ONE window per user carries the last non-null view forward
+    (``last(..., ignorenulls=True)`` over unbounded-preceding), then
+    keep the click rows. A single exchange on user_id, no
+    quadratic-per-key candidate expansion, and AQE handles hot users.
+    Ties (view and click at the same ts) order views first, then by
+    event_id, so the match is total and engine-independent. Clicks with
+    no prior view keep NULL view columns (left-asof semantics)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    m = F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1))
+    uni = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        m.alias("m"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(
+            F.col("event_type") == "view", F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("v_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "m", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        uni.withColumn("view_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("view_us", F.last("v_us", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "view_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp")) - F.col("view_us")
+            ).alias("lag_us"),
+        )
+    )
+
+
 EVENTS_ORACLES = {
     "evt_windowed_counts": """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
@@ -129,9 +177,32 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
 """,
+    # windowed carry-forward, not DuckDB's native ASOF JOIN: ASOF leaves
+    # the equal-max-ts tie unordered, this pins views-first + event_id
+    "evt_asof_view_click": """
+WITH uni AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS m,
+    CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+carried AS (
+  SELECT *,
+    last_value(v_id IGNORE NULLS) OVER w AS view_id,
+    last_value(v_us IGNORE NULLS) OVER w AS view_us
+  FROM uni
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, m, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS click_id, user_id, view_id,
+       epoch_us(ts) - view_us AS lag_us
+FROM carried WHERE event_type = 'click'
+""",
 }
 
 EVENTS_QUERIES = {
     "evt_windowed_counts": evt_windowed_counts,
     "evt_sessions": evt_sessions,
+    "evt_asof_view_click": evt_asof_view_click,
 }

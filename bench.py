@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "kg_drug_mentions",
     "kg_mention_counts",
     "kg_cooccurrence_counts",
+    "kg_pagerank",
 ]
 
 # LLM-pipeline operator suite (dedup / similarity / corpus export) —

@@ -167,6 +167,37 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_len_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language deciles of document length — corpus length
+    statistics by the DISCRETE quantile definition (value at position
+    floor(k·(n−1)/10) of the sorted list), stated explicitly so both
+    engines compute the identical integer instead of trusting two
+    libraries' interpolation conventions to round the same way.
+
+    Scale note: collect_list materializes one per-GROUP array — groups
+    here are languages (bounded), so the array is the stratum size; at
+    100 TB you'd swap in percentile_approx (t-digest) for the same
+    query shape and give up exactness, not restructure the plan."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    arrs = docs.groupBy("lang").agg(
+        F.sort_array(F.collect_list("n_chars")).alias("arr"),
+        F.count("*").alias("n"),
+    )
+    return (
+        arrs.select(
+            "lang", "arr", "n",
+            F.explode(F.sequence(F.lit(0), F.lit(10))).alias("decile"),
+        )
+        .select(
+            "lang",
+            "decile",
+            F.expr(
+                "element_at(arr, CAST(decile * (n - 1) div 10 AS INT) + 1)"
+            ).alias("value"),
+        )
+    )
+
+
 # PII redaction patterns — shared Java-regex / RE2 subset only (no
 # lookarounds, memory rule). Order matters: emails before bare domains.
 PII_PATTERNS = [
@@ -276,6 +307,15 @@ SELECT doc_id,
   )}, 1, 80) AS redacted_head
 FROM documents
 """,
+    "txt_len_deciles": """
+WITH arrs AS (
+  SELECT lang, list(n_chars ORDER BY n_chars) AS arr, count(*) AS n
+  FROM documents GROUP BY lang
+)
+SELECT lang, k AS decile,
+       arr[CAST(k * (n - 1) // 10 AS BIGINT) + 1] AS value
+FROM arrs, (SELECT unnest(range(0, 11)) AS k)
+""",
 }
 
 TEXTSTATS_QUERIES = {
@@ -285,4 +325,5 @@ TEXTSTATS_QUERIES = {
     "txt_fingerprint": txt_fingerprint,
     "txt_repetition": txt_repetition,
     "txt_redact_pii": txt_redact_pii,
+    "txt_len_deciles": txt_len_deciles,
 }

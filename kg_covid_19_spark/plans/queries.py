@@ -192,6 +192,92 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 3
+PR_BASE_PPM = 150_000
+PR_DAMP_PPM = 850_000
+_PPM = 1_000_000
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance over the co-occurrence graph: PR_ITERS rounds
+    of damped degree-normalized message passing (PageRank power
+    iteration) — the engine's iterative-algorithm surface.
+
+    All arithmetic is integer parts-per-million with `div` (floor
+    division): integer sums are order-independent, so the result is
+    bit-identical at any parallelism and in DuckDB (the oracle unrolls
+    the same three iterations as CTEs) — float ranks would hash-diverge
+    on summation order. Each round is one broadcast-or-copartitioned
+    join (ranks ⋈ degrees), one message groupBy (partial-agg friendly),
+    and one left join back to the node set — the canonical distributed
+    PageRank shape; production runs would checkpoint ranks per round to
+    cut lineage, and switch the fixed-point scale down if |V|·ppm·damp
+    approaches the int64 ceiling (~10^7 vertices at these constants in
+    the worst star-graph case; scaled constants buy web-scale)."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    # persist the loop-invariant degree table and each round's ranks:
+    # without this, round k's plan re-executes every earlier round's
+    # joins (deg is referenced twice per round), and the recomputation
+    # tree grows 2^k — the standard iterative-algorithm checkpointing
+    # this docstring promises.
+    deg = und.groupBy(F.col("subject").alias("id")).agg(
+        F.count("*").alias("deg")
+    ).persist()
+    r = deg.select("id", F.lit(_PPM).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = r.join(deg, "id").select(
+            "id", F.expr("r div deg").alias("c")
+        )
+        msgs = (
+            und.join(contrib, F.col("subject") == F.col("id"))
+            .groupBy(F.col("object").alias("mid"))
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            deg.select("id")
+            .join(msgs, F.col("id") == F.col("mid"), "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({PR_BASE_PPM} + "
+                    f"({PR_DAMP_PPM} * coalesce(s, 0L)) div {_PPM} AS LONG)"
+                ).alias("r"),
+            )
+            .persist()
+        )
+    return r.select("id", F.col("r").alias("rank_ppm"))
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        """und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)""",
+        "deg AS (SELECT subject AS id, count(*) AS deg FROM und GROUP BY subject)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg)",
+    ]
+    for k in range(PR_ITERS):
+        parts.append(
+            f"c{k} AS (SELECT r{k}.id, r{k}.r // d.deg AS c "
+            f"FROM r{k} JOIN deg d ON r{k}.id = d.id)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT und.object AS id, sum(c{k}.c) AS s "
+            f"FROM und JOIN c{k} ON und.subject = c{k}.id GROUP BY und.object)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT d.id, CAST({PR_BASE_PPM} + "
+            f"({PR_DAMP_PPM} * coalesce(m{k}.s, 0)) // {_PPM} AS BIGINT) AS r "
+            f"FROM deg d LEFT JOIN m{k} ON d.id = m{k}.id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, r AS rank_ppm FROM r{PR_ITERS}"
+
+
 KG_QUERIES = {
     "kg_category_counts": kg_category_counts,
     "kg_protein_nodes": kg_protein_nodes,
@@ -204,6 +290,7 @@ KG_QUERIES = {
     "kg_drug_mentions": kg_drug_mentions,
     "kg_mention_counts": kg_mention_counts,
     "kg_cooccurrence_counts": kg_cooccurrence_counts,
+    "kg_pagerank": kg_pagerank,
 }
 
 _CTE = kg_cte_sql()
@@ -300,5 +387,9 @@ SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
 FROM mentions a JOIN mentions b
   ON a.doc_id = b.doc_id AND a.curie < b.curie
 GROUP BY a.curie, b.curie
+""",
+    "kg_pagerank": f"""
+WITH {_CTE},
+{_pagerank_sql()}
 """,
 }

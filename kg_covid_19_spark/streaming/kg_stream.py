@@ -90,3 +90,50 @@ def stream_mention_edges(
 def batch_mention_edges(spark: SparkSession, docs_dir: str) -> DataFrame:
     """The batch plan the stream must converge to (same kernel)."""
     return _mention_edges(spark.read.parquet(docs_dir))
+
+
+def stream_dedup_hashes(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    query_name: str = "doc_dedup_stream",
+) -> DataFrame:
+    """Streaming exact dedup: emit each distinct md5(text) ONCE across
+    the lifetime of the checkpoint — the continuous form of
+    operators/dedup.exact_dup_clusters' hash key.
+
+    ``dropDuplicates`` keeps its seen-set in checkpointed state, so the
+    dedup survives restarts: a re-run with the same checkpoint_dir
+    treats previously-seen hashes as duplicates even when they arrive
+    in brand-new files — exactly-once per CONTENT, strictly stronger
+    than the file-level exactly-once of stream_mention_edges. The
+    deterministic contract (and what the parity test pins) is the
+    emitted hash SET; which physical row survives a within-batch tie is
+    partition-order dependent, so only the hash column is emitted.
+    State note at 100 TB: unbounded dropDuplicates state is the honest
+    cost of corpus-lifetime dedup (it is the seen-set, sharded across
+    executors by the state store); bound it with
+    dropDuplicatesWithinWatermark only when near-duplicate arrivals are
+    known to cluster in time."""
+    schema = spark.read.parquet(docs_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    hashes = docs.select(F.md5("text").alias("text_hash")).dropDuplicates(
+        ["text_hash"]
+    )
+    q = (
+        hashes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir)

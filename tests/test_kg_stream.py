@@ -55,3 +55,38 @@ def test_stream_matches_batch_and_resumes_exactly_once(spark, tmp_path):
         resumed.groupBy("subject", "object").count()
         .filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_stream_dedup_is_content_exactly_once(spark, tmp_path):
+    """Distinct-hash set matches batch; a restart with the same
+    checkpoint suppresses re-arrivals of already-seen content."""
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.streaming.kg_stream import stream_dedup_hashes
+
+    incoming = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    out = str(tmp_path / "out_dedup")
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    base.write.parquet(incoming)
+    first = stream_dedup_hashes(spark, incoming, ckpt, out)
+    got = {r["text_hash"] for r in first.collect()}
+    want = {
+        r["h"]
+        for r in base.select(F.md5("text").alias("h")).distinct().collect()
+    }
+    assert got == want  # 2 distinct hashes from 3 docs
+
+    # new file: one seen content, one new → exactly one new hash
+    spark.createDataFrame(
+        [(4, "alpha beta"), (5, "epsilon zeta")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(incoming)
+    resumed = stream_dedup_hashes(spark, incoming, ckpt, out)
+    got2 = {r["text_hash"] for r in resumed.collect()}
+    assert len(got2) == 3
+    assert resumed.count() == 3  # no duplicate rows ever emitted

@@ -246,6 +246,38 @@ def rel_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide aggregation): order counts per priority,
+    one column per order status. Values are declared explicitly — a
+    values-less pivot runs a driver-side distinct scan AND makes the
+    output schema data-dependent, both wrong at scale. Missing cells
+    are normalized to 0 (Spark pivot yields null, conditional-count
+    oracles yield 0)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: customers ordering in both 1995 and 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: customers ordering in 1995 but never in 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)  # EXCEPT DISTINCT semantics
+
+
 def rel_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (nation → region totals) — the graph-stats
     natural hierarchy (A8 note), subtotals + grand total."""
@@ -279,6 +311,9 @@ REL_QUERIES = {
     "rel_union_provenance": rel_union_provenance,
     "rel_tpch_q1": rel_tpch_q1,
     "rel_cube_counts": rel_cube_counts,
+    "rel_pivot": rel_pivot,
+    "rel_intersect": rel_intersect,
+    "rel_except": rel_except,
 }
 
 REL_ORACLES = {
@@ -377,6 +412,23 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 SELECT c_mktsegment, n_name, count(*) AS n_custs
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (c_mktsegment, n_name)
+""",
+    "rel_pivot": """
+SELECT o_orderpriority,
+  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
+    "rel_intersect": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+    "rel_except": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 """,
     "rel_running_total": """
 WITH o AS (

@@ -161,17 +161,6 @@ NLIST = 16               # IVF coarse lists
 NPROBE = 4               # IVF probed lists per query
 
 
-def _table_bucket(v: Column, table: int) -> Column:
-    """4-bit sign-projection key for hash table `table` (planes
-    table*4 .. table*4+3)."""
-    key = F.lit(0)
-    for k in range(PLANES_PER_TABLE):
-        plane = PLANES[table * PLANES_PER_TABLE + k]
-        arr = F.array(*[F.lit(x) for x in plane])
-        key = key + F.when(_dot(v, arr) > 0, F.lit(2**k)).otherwise(F.lit(0))
-    return key
-
-
 def make_bucket_udf():
     """Arrow kernel: embedding → all N_TABLES 4-bit keys at once.
 

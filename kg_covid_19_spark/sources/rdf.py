@@ -92,7 +92,11 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
             s.alias("subject_iri"),
             p.alias("predicate_iri"),
             F.when(o_iri != "", o_iri).alias("object_iri"),
-            F.when(o_iri == "", o_lit).alias("object_literal"),
+            # single-pass unescape: \" → " and \\ → \ (n-triples grammar)
+            F.when(
+                o_iri == "",
+                F.regexp_replace(o_lit, r'\\(["\\])', r"$1"),
+            ).alias("object_literal"),
         )
         .filter(F.col("subject_iri") != "")
     )
@@ -175,3 +179,107 @@ def gocam_transform(
         .dropDuplicates(["id"])
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# n-triples SINK (K2's Jenkins variant: merged graph → merged-kg.nt.gz,
+# merge_jenkins.yaml). CURIEs expand back to IRIs by prefix table +
+# OBO-purl rule — the exact inverse of contract_iri/contract_obo, so a
+# write → read_ntriples → contract round trip is the identity (pinned by
+# test_rdf).
+# ---------------------------------------------------------------------------
+
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL_IRI = "http://www.w3.org/2000/01/rdf-schema#label"
+
+# prefixes that expand through the OBO PURL pattern
+OBO_PREFIXES = ("MONDO", "CHEBI", "GO", "ECO", "HP", "DOID", "NCBITaxon")
+_OBO_BASE = "http://purl.obolibrary.org/obo/"
+
+# engine-default expansion table: reverse of the reader's contraction
+# families plus the identifier namespaces the KG's prefixes come from
+NT_EXPAND: dict[str, str] = {
+    **{p: iri for p, iri in GOCAM_CMAP.items()},
+    "MESH": "https://id.nlm.nih.gov/mesh/",
+    "NCBIGene": "http://identifiers.org/ncbigene/",
+    "CORD": "https://kghub.io/cord/",
+    "DrugCentral": "https://drugcentral.org/drugcard/",
+}
+
+
+def expand_curie(col: Column, cmap: dict[str, str] | None = None) -> Column:
+    """CURIE → IRI: OBO prefixes via the PURL pattern, everything else
+    via the expansion table; unmapped prefixes get a deterministic
+    ``urn:x-curie:`` form (never dropped — lossless by construction)."""
+    cmap = NT_EXPAND if cmap is None else cmap
+    pfx = F.regexp_extract(col, "^([^:]+):", 1)
+    local = F.regexp_replace(col, "^[^:]+:", "")
+    expr = F.concat(F.lit("urn:x-curie:"), col)
+    for p, iri in sorted(cmap.items()):
+        expr = F.when(pfx == p, F.concat(F.lit(iri), local)).otherwise(expr)
+    obo = F.concat(F.lit(_OBO_BASE), pfx, F.lit("_"), local)
+    return F.when(pfx.isin(*OBO_PREFIXES), obo).otherwise(expr)
+
+
+def _nt_literal(col: Column) -> Column:
+    """Quote + escape a literal per the n-triples grammar (backslash
+    first, then quote; the text kernel guarantees no raw newlines)."""
+    esc = F.regexp_replace(col, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
+    return F.concat(F.lit('"'), esc, F.lit('"'))
+
+
+def ntriples_lines(
+    nodes: DataFrame,
+    edges: DataFrame,
+    cmap: dict[str, str] | None = None,
+) -> DataFrame:
+    """(nodes, edges) → one-column frame of n-triples lines:
+    ``<id> rdf:type <category>``, ``<id> rdfs:label "name"`` (when
+    named), and ``<s> <predicate> <o>`` per edge."""
+    wrap = lambda c: F.concat(F.lit("<"), c, F.lit(">"))
+    type_lines = nodes.select(
+        F.concat_ws(
+            " ",
+            wrap(expand_curie(F.col("id"), cmap)),
+            wrap(F.lit(RDF_TYPE_IRI)),
+            wrap(expand_curie(F.col("category"), cmap)),
+            F.lit("."),
+        ).alias("value")
+    )
+    label_lines = nodes.filter(F.col("name").isNotNull()).select(
+        F.concat_ws(
+            " ",
+            wrap(expand_curie(F.col("id"), cmap)),
+            wrap(F.lit(RDFS_LABEL_IRI)),
+            _nt_literal(F.col("name")),
+            F.lit("."),
+        ).alias("value")
+    )
+    edge_lines = edges.select(
+        F.concat_ws(
+            " ",
+            wrap(expand_curie(F.col("subject"), cmap)),
+            wrap(expand_curie(F.col("predicate"), cmap)),
+            wrap(expand_curie(F.col("object"), cmap)),
+            F.lit("."),
+        ).alias("value")
+    )
+    return type_lines.unionAll(label_lines).unionAll(edge_lines)
+
+
+def write_ntriples(
+    nodes: DataFrame,
+    edges: DataFrame,
+    path: str,
+    cmap: dict[str, str] | None = None,
+    gzipped: bool = True,
+) -> None:
+    """Write the merged graph as (gzipped) n-triples part files — the
+    reference Jenkins pipeline's merged-kg.nt.gz artifact, distributed
+    (one part per partition; a downstream cat is the single-file
+    form)."""
+    writer = ntriples_lines(nodes, edges, cmap).write.mode("overwrite")
+    if gzipped:
+        writer = writer.option("compression", "gzip")
+    writer.text(path)

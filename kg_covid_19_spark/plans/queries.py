@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..dictionaries import kg_cte_sql
+from ..dictionaries import kg_cte_sql, normalized_gazetteer
+from ..sources.corpus import read_table
 from .pipeline import get_kg, get_mention_arrays, get_mentions, pair_expand
 
 # The hub entity for the hop queries — the reference's SARS-CoV-2 anchor
@@ -192,6 +193,47 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINK_MAX_DIST = 2
+
+
+def kg_linked_mentions_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored entity linking (north-star: "entity linking scores
+    candidate mentions against a broadcast ontology/CURIE dictionary"):
+    every distinct corpus token is scored against every normalized
+    gazetteer surface by edit distance; candidates within
+    LINK_MAX_DIST link to the (distance, curie)-minimal entry — a
+    deterministic argmin, no RNG, no ties left to the engine.
+
+    Scale shape: distinct tokens are a dictionary-bounded groupBy
+    (vocabulary, not corpus, sized); the scoring join is a
+    broadcast nested-loop against the tiny dictionary (the broadcast-
+    dictionary discipline of the mention kernel, just with a fuzzy
+    predicate), and the argmin is a partial-agg min over a struct key."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    gaz = F.broadcast(
+        spark.createDataFrame(
+            normalized_gazetteer(),
+            "term string, curie string, name string, category string",
+        ).select("term", "curie")
+    )
+    d = F.levenshtein(F.col("token"), F.col("term"))
+    scored = toks.join(gaz, d <= LINK_MAX_DIST).select(
+        "token", "curie", d.alias("distance")
+    )
+    best = scored.groupBy("token").agg(
+        F.min(F.struct("distance", "curie")).alias("b")
+    )
+    return best.select(
+        "token", F.col("b.curie").alias("curie"),
+        F.col("b.distance").alias("distance"),
+    )
+
+
 PR_ITERS = 3
 PR_BASE_PPM = 150_000
 PR_DAMP_PPM = 850_000
@@ -291,7 +333,19 @@ KG_QUERIES = {
     "kg_mention_counts": kg_mention_counts,
     "kg_cooccurrence_counts": kg_cooccurrence_counts,
     "kg_pagerank": kg_pagerank,
+    "kg_linked_mentions_scored": kg_linked_mentions_scored,
 }
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _linkdict_sql() -> str:
+    rows = ",\n    ".join(
+        f"({_q(t)}, {_q(c)})" for t, c, _n, _cat in normalized_gazetteer()
+    )
+    return f"linkdict(term, curie) AS (VALUES\n    {rows})"
 
 _CTE = kg_cte_sql()
 
@@ -391,5 +445,23 @@ GROUP BY a.curie, b.curie
     "kg_pagerank": f"""
 WITH {_CTE},
 {_pagerank_sql()}
+""",
+    "kg_linked_mentions_scored": f"""
+WITH {_linkdict_sql()},
+toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+),
+scored AS (
+  SELECT t.token, g.curie, levenshtein(t.token, g.term) AS distance
+  FROM toks t, linkdict g
+  WHERE t.token <> '' AND levenshtein(t.token, g.term) <= {LINK_MAX_DIST}
+),
+ranked AS (
+  SELECT token, curie, distance,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY distance, curie) AS rn
+  FROM scored
+)
+SELECT token, curie, distance FROM ranked WHERE rn = 1
 """,
 }

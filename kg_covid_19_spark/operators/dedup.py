@@ -109,13 +109,30 @@ SHINGLE_SQL = (
 )
 
 
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct shingles."""
-    return (
-        dedup_corpus(spark, sf_dir)
-        .select("doc_id", F.explode_outer(_shingles(F.col("text"))).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-    )
+    """(doc_id, shingle) exploded distinct shingles — persisted per
+    (session, input) like the materialized KG (plans/pipeline.get_kg):
+    the signature build and BOTH sides of the Jaccard-verify
+    intersection read this frame, so without the cache one
+    neardup_pairs run re-scans and re-shingles the corpus three times.
+    On a cluster this is the natural intermediate table between the
+    corpus and the dedup family."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        sh = (
+            dedup_corpus(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.explode_outer(_shingles(F.col("text"))).alias("shingle"),
+            )
+            .filter(F.col("shingle").isNotNull())
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = sh
+    return _SHINGLE_CACHE[key]
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

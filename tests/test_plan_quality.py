@@ -99,3 +99,14 @@ def test_topk_is_two_phase(spark):
     # the exchange feeding the final per-query window reads the pruned
     # set: there must be an exchange on (pid, query_id) upstream
     assert re.search(r"hashpartitioning\(pid#\d+", plan), plan
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join is one windowed carry-forward per user: exactly
+    one data exchange and one Window, never a range/theta join."""
+    from kg_covid_19_spark.streaming.events import evt_asof_view_click
+
+    plan = _executed_plan(evt_asof_view_click(spark, SF_DIR))
+    assert len(re.findall(r"Exchange (?!SinglePartition)", plan)) == 1, plan
+    assert len([l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]) == 1
+    assert "Join" not in plan

@@ -278,6 +278,33 @@ def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)  # EXCEPT DISTINCT semantics
 
 
+def rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame — the time-window aggregation a ROWS frame
+    can't express: per customer, order count and cents-sum over the 29
+    days preceding each order (inclusive). The frame bound is on the
+    epoch-day VALUE, so peers (same-day orders) are always in-frame
+    together — identical semantics in both engines; cents go through
+    the exact decimal path (never round(double))."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    pre = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-29, 0)
+    return pre.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_orders_30d"),
+        F.sum("cents").over(w).alias("cents_30d"),
+    )
+
+
 def rel_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (nation → region totals) — the graph-stats
     natural hierarchy (A8 note), subtotals + grand total."""
@@ -314,6 +341,7 @@ REL_QUERIES = {
     "rel_pivot": rel_pivot,
     "rel_intersect": rel_intersect,
     "rel_except": rel_except,
+    "rel_range_frame": rel_range_frame,
 }
 
 REL_ORACLES = {
@@ -429,6 +457,20 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
 EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+    "rel_range_frame": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_custkey <= 200
+)
+SELECT o_custkey, o_orderkey,
+  count(*) OVER w AS n_orders_30d,
+  sum(cents) OVER w AS cents_30d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
 """,
     "rel_running_total": """
 WITH o AS (

@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 
 def parse_ttd_blocks(spark: SparkSession, path: str) -> DataFrame:
     """→ (target_id, abbrev, entries array<array<string>>), one row per
-    (target, abbrev), entries in file order."""
+    (target, abbrev), entries in file order.
+
+    Scale note: the unpartitioned cumulative window below is a
+    deliberate single-reducer pass — the TTD raw file is a small flat
+    dictionary download (MBs; the reference parses it single-threaded,
+    ttd.py:208-278), and the format's "skip until the 2nd dashed line"
+    rule is inherently sequential over the file. Corpus-sized inputs
+    never come through this path."""
     raw = (
         spark.read.text(path)
         .withColumn("_lid", F.monotonically_increasing_id())

@@ -239,3 +239,55 @@ def test_kernel_invariant_to_partitioning(spark, docs):
     assert sorted((r.i, tuple(r.c)) for r in one.collect()) == sorted(
         (r.i, tuple(r.c)) for r in many.collect()
     )
+
+
+@given(
+    urls=st.lists(
+        st.from_regex(
+            r"https?://[A-Za-z0-9.]{1,12}(:[0-9]{2,4})?(/[a-z0-9/]{0,10})?"
+            r"(\?[a-z]=[0-9](&[a-z]=[0-9]){0,3})?(#[a-z0-9]{0,6})?",
+            fullmatch=True,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_url_canonicalize_idempotent(spark, urls):
+    """canon(canon(u)) == canon(u) — the property that makes canonical
+    URLs safe as dedup keys."""
+    from kg_covid_19_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c1"))
+    twice = once.select(
+        F.col("c1"), canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], r
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc@. 0123456789+-",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_redact_pii_idempotent(spark, texts):
+    """Redaction placeholders must never themselves match a PII pattern
+    (redact(redact(t)) == redact(t))."""
+    from kg_covid_19_spark.functions.textstats import redact_pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = df.select(redact_pii(F.col("t")).alias("r1"))
+    twice = once.select(
+        F.col("r1"), redact_pii(F.col("r1")).alias("r2")
+    ).collect()
+    for r in twice:
+        assert r["r1"] == r["r2"], r

@@ -83,6 +83,12 @@ def main() -> None:
     kg_openie_triples(spark, SF_DIR).agg(F.count("*")).collect()
     queries["kg_openie_triples"] = round(time.time() - t0, 3)
 
+    # headline `value` = the KG chain exactly as BENCH_r01 defined it
+    # (kg_build + the flagship queries above), so round-over-round
+    # ratios compare like with like; the LLM-pipeline suite timings are
+    # reported separately under `suite_sec` / `queries`.
+    kg_chain_total = sum(queries.values()) - queries.get("kg_pagerank", 0.0)
+
     for name, fn in PIPELINE_BENCH.items():
         t0 = time.time()
         fn(spark, SF_DIR).agg(F.count("*")).collect()
@@ -94,8 +100,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "kg_pipeline_total_sec",
-                "value": round(total, 3),
+                "value": round(kg_chain_total, 3),
                 "unit": "sec",
+                "suite_sec": round(total, 3),
                 "queries": queries,
                 "sf": float(sf),
                 "n_docs": n_docs,

@@ -221,8 +221,14 @@ def kg_linked_mentions_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term string, curie string, name string, category string",
         ).select("term", "curie")
     )
+    # length-difference bound first: |len(a)−len(b)| ≤ d is implied by
+    # levenshtein ≤ d, costs one comparison, and prunes most of the
+    # vocabulary×dictionary pairs before the O(len²) edit distance runs
+    len_ok = (
+        F.abs(F.length("token") - F.length("term")) <= LINK_MAX_DIST
+    )
     d = F.levenshtein(F.col("token"), F.col("term"))
-    scored = toks.join(gaz, d <= LINK_MAX_DIST).select(
+    scored = toks.join(gaz, len_ok & (d <= LINK_MAX_DIST)).select(
         "token", "curie", d.alias("distance")
     )
     best = scored.groupBy("token").agg(
@@ -454,7 +460,9 @@ toks AS (
 scored AS (
   SELECT t.token, g.curie, levenshtein(t.token, g.term) AS distance
   FROM toks t, linkdict g
-  WHERE t.token <> '' AND levenshtein(t.token, g.term) <= {LINK_MAX_DIST}
+  WHERE t.token <> ''
+    AND abs(length(t.token) - length(g.term)) <= {LINK_MAX_DIST}
+    AND levenshtein(t.token, g.term) <= {LINK_MAX_DIST}
 ),
 ranked AS (
   SELECT token, curie, distance,

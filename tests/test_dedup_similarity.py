@@ -166,3 +166,20 @@ def test_corpus_export_gates(spark):
         .select("doc_id", "lang").collect()
     )
     assert all(langs[d] == EXPORT_LANG for d in kept)
+
+
+def test_shingle_kernel_matches_column_form(spark):
+    """The Arrow shingle kernel and the JVM higher-order form are
+    interchangeable: same shingle multiset per document."""
+    from kg_covid_19_spark.operators.dedup import _shingles, make_shingle_udf
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c"), (2, "x y"), (3, ""), (4, "p q r")],
+        "doc_id long, text string",
+    )
+    udf = make_shingle_udf()
+    got = {r["doc_id"]: sorted(r["k"]) for r in
+           df.select("doc_id", udf("text").alias("k")).collect()}
+    want = {r["doc_id"]: sorted(r["k"]) for r in
+            df.select("doc_id", _shingles(F.col("text")).alias("k")).collect()}
+    assert got == want

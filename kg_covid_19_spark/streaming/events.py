@@ -206,3 +206,72 @@ EVENTS_QUERIES = {
     "evt_sessions": evt_sessions,
     "evt_asof_view_click": evt_asof_view_click,
 }
+
+
+def _interval_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Shared join predicate: each click ⋈ same-user views within the
+    preceding 10 minutes (inclusive) — used identically by the batch
+    and streaming forms, so their parity is structural."""
+    return clicks.join(
+        views,
+        F.expr(
+            """
+            c_user = v_user AND
+            view_ts BETWEEN click_ts - INTERVAL 10 MINUTES AND click_ts
+            """
+        ),
+    ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
+
+
+def _view_click_sides(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    return views, clicks
+
+
+def stream_view_click_join(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    query_name: str = "evt_interval_join_stream",
+) -> DataFrame:
+    """Stream-stream interval join (§2.9 depth): clicks joined to
+    same-user views within the preceding 10 minutes, BOTH sides
+    watermarked so the join state is bounded — the state-store holds
+    only rows younger than watermark + interval, the Structured
+    Streaming contract that makes stream-stream joins feasible at all.
+    Drains available input, then returns the accumulated output; the
+    test pins equality with the batch form of the identical predicate."""
+    schema = spark.read.parquet(events_dir).schema
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    views, clicks = _view_click_sides(ev)
+    joined = _interval_join(
+        views.withWatermark("view_ts", "10 minutes"),
+        clicks.withWatermark("click_ts", "10 minutes"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir)
+
+
+def batch_view_click_join(spark: SparkSession, events_dir: str) -> DataFrame:
+    """The batch plan the stream must converge to (same predicate)."""
+    views, clicks = _view_click_sides(spark.read.parquet(events_dir))
+    return _interval_join(views, clicks)

@@ -90,3 +90,43 @@ def test_stream_dedup_is_content_exactly_once(spark, tmp_path):
     got2 = {r["text_hash"] for r in resumed.collect()}
     assert len(got2) == 3
     assert resumed.count() == 3  # no duplicate rows ever emitted
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) converges
+    to the batch form of the identical predicate."""
+    import datetime as dt
+
+    from kg_covid_19_spark.streaming.events import (
+        batch_view_click_join,
+        stream_view_click_join,
+    )
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 1, m, s)
+    rows = [
+        (1, t(0), 7, "view", 0.0, ""),
+        (2, t(5), 7, "click", 0.0, ""),    # joins view 1 (5 min gap)
+        (3, t(20), 7, "click", 0.0, ""),   # view 1 too old (20 > 10) → no row
+        (4, t(30), 7, "view", 0.0, ""),
+        (5, t(30), 7, "click", 0.0, ""),   # same instant → joins view 4
+        (6, t(2), 9, "click", 0.0, ""),    # other user, no view → no row
+        (7, t(3), 9, "view", 0.0, ""),     # view AFTER click → no row
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(events_dir)
+
+    batch = {
+        (r["click_id"], r["view_id"])
+        for r in batch_view_click_join(spark, events_dir).collect()
+    }
+    assert batch == {(2, 1), (5, 4)}
+
+    streamed = stream_view_click_join(
+        spark, events_dir, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    got = {(r["click_id"], r["view_id"]) for r in streamed.collect()}
+    assert got == batch

@@ -193,6 +193,40 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle participation over the co-occurrence graph —
+    the clustering-structure metric next to degree (A5) and common
+    neighbors (J12 extension).
+
+    The edge set is stored once with subject < object, so the
+    enumeration joins are ordered by construction (a<b<c): wedges from
+    (a,b)⋈(b,c), closed by (a,c) — each triangle found exactly once,
+    no orientation dedup pass. Both joins key on single edge columns;
+    at web scale the standard refinement is the same plan over
+    degree-ordered edges so high-degree hubs sit on the small side."""
+    _, edges = get_kg(spark, sf_dir)
+    e = (
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+        .select("subject", "object")
+    )
+    wedges = (
+        e.select(F.col("subject").alias("a"), F.col("object").alias("b"))
+        .join(
+            e.select(F.col("subject").alias("b"), F.col("object").alias("c")),
+            "b",
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("subject").alias("a"), F.col("object").alias("c")),
+        ["a", "c"],
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 LINK_MAX_DIST = 2
 
 
@@ -340,6 +374,7 @@ KG_QUERIES = {
     "kg_cooccurrence_counts": kg_cooccurrence_counts,
     "kg_pagerank": kg_pagerank,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
+    "kg_triangle_counts": kg_triangle_counts,
 }
 
 
@@ -471,5 +506,20 @@ ranked AS (
   FROM scored
 )
 SELECT token, curie, distance FROM ranked WHERE rn = 1
+""",
+    "kg_triangle_counts": f"""
+WITH {_CTE},
+tri AS (
+  SELECT ab.subject AS a, ab.object AS b, bc.object AS c
+  FROM cooc_edges ab
+  JOIN cooc_edges bc ON ab.object = bc.subject
+  JOIN cooc_edges ac ON ac.subject = ab.subject AND ac.object = bc.object
+),
+members AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT id, count(*) AS n_triangles FROM members GROUP BY id
 """,
 }

@@ -119,3 +119,75 @@ def gene_annot_transform(spark: SparkSession, gpi_path: str, gpa_path: str,
         )
     )
     return nodes.unionByName(bare).select(*NODE_COLS), edges.select(*EDGE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# curated/ORFs synonym-overlap report
+# (reference: curated/ORFs/merge_KGCOVID_COVIDscholar_syns.py — a
+# standalone curation QA script whose committed .out is the golden)
+# ---------------------------------------------------------------------------
+
+def synonym_overlap(
+    spark: SparkSession, gpi_path: str, scholar_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Compare GPI gene synonyms against a curated synonym list.
+
+    Reproduces merge_KGCOVID_COVIDscholar_syns.py exactly: each GPI
+    record's gene name (field 3) is looked up in the FIRST scholar line
+    whose ', '-split token list contains it; the report is the
+    synonym-set difference both ways ('kg_only' = GPI synonyms missing
+    from that line, 'cs_only' = line tokens missing from the GPI list,
+    skipping '('-prefixed tokens), plus a (n_matched, n_total) summary.
+    Returns (summary_df, diff_df).
+
+    The scholar list is a curated file of a few dozen lines, read on
+    the driver so the script's first-match-by-file-order rule is exact;
+    the GPI side and all set algebra are DataFrame ops."""
+    recs = (
+        spark.read.text(gpi_path)
+        .filter(~F.col("value").startswith("!"))
+        .select(F.split("value", "\t").alias("f"))
+        .select(
+            F.element_at("f", 3).alias("gene_name"),
+            F.split(
+                F.regexp_replace(F.element_at("f", 5), "\n", ""), r"\|"
+            ).alias("syns"),
+        )
+    )
+    with open(scholar_path) as fh:
+        scholar_rows = [
+            (i, line.replace("\n", "").split(", "))
+            for i, line in enumerate(fh)
+        ]
+    scholar = spark.createDataFrame(
+        scholar_rows, "line_id int, names array<string>"
+    )
+    hits = (
+        scholar.select("line_id", F.explode("names").alias("gene_name"))
+        .groupBy("gene_name")
+        .agg(F.min("line_id").alias("line_id"))
+    )
+    matched = (
+        recs.join(F.broadcast(hits), "gene_name", "left")
+        .join(F.broadcast(scholar), "line_id", "left")
+    )
+    summary = matched.agg(
+        F.count(F.col("line_id")).alias("n_matched"),
+        F.count("*").alias("n_total"),
+    )
+    kg_only = (
+        matched.filter(F.col("line_id").isNotNull())
+        .select("gene_name", F.explode("syns").alias("syn"), "names")
+        .filter(~F.array_contains(F.col("names"), F.col("syn")))
+        .select("gene_name", "syn", F.lit("kg_only").alias("side"))
+    )
+    cs_only = (
+        matched.filter(F.col("line_id").isNotNull())
+        .select("gene_name", "syns", F.explode("names").alias("syn"))
+        .filter(
+            ~F.array_contains(F.col("syns"), F.col("syn"))
+            & ~F.col("syn").startswith("(")
+        )
+        .select("gene_name", "syn", F.lit("cs_only").alias("side"))
+    )
+    return summary, kg_only.unionByName(cs_only)

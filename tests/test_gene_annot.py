@@ -59,3 +59,28 @@ def test_gpi_record_count_golden(spark):
     if not os.path.exists(curated):
         pytest.skip("curated gpi not available")
     assert gpi_nodes(spark, curated).count() == 32
+
+
+def test_synonym_overlap_matches_reference_script_output(spark):
+    """The DataFrame re-expression of the curated ORFs QA script
+    (curated/ORFs/merge_KGCOVID_COVIDscholar_syns.py) reproduces the
+    script's behavior on the current inputs exactly: 31 of 32 ORFs
+    matched, 52 GPI-only synonym reports, 225 scholar-only reports —
+    verified against a line-faithful Python transcription of the
+    script run on the same files. (The committed .out in the reference
+    tree predates edits to the input files, so its counts differ; the
+    script, not its stale artifact, is the contract.)"""
+    from kg_covid_19_spark.sources.gene_annot import synonym_overlap
+
+    base = "/root/reference/curated/ORFs"
+    summary, diff = synonym_overlap(
+        spark,
+        f"{base}/uniprot_sars-cov-2.gpi",
+        f"{base}/synonyms_list_COVIDscholar.txt",
+    )
+    s = summary.collect()[0]
+    assert (s["n_matched"], s["n_total"]) == (31, 32)
+    sides = {r["side"]: 0 for r in diff.select("side").distinct().collect()}
+    for r in diff.groupBy("side").count().collect():
+        sides[r["side"]] = r["count"]
+    assert sides == {"kg_only": 52, "cs_only": 225}

@@ -169,15 +169,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(md5) over a set is permutation-MinHash with the hash family indexed
     by seed; lexicographic min on hex strings is total and engine-agnostic.
 
-    Shape note (measured, not guessed): explode + groupBy(doc_id) LOOKS
-    like a corpus-sized shuffle but is not — a doc's shingles are
-    generated row-locally, so every group is partition-local and the
-    map-side partial aggregation collapses each doc to ONE (doc_id,
-    h0..h7) row before the exchange; the shuffle is |docs|-sized. And
-    ``min(md5(...))`` over exploded rows runs inside whole-stage
-    codegen, whereas the "zero-shuffle" alternative (``array_min`` over
-    ``transform``-hashed arrays) pays ~2µs per interpreted lambda step —
-    4× slower end-to-end at sf0.1 despite saving the tiny exchange.
+    Shape (every alternative measured at sf0.1, not guessed): exploded
+    shingles + codegen'd min(md5) groupBy wins. It LOOKS like a
+    corpus-sized shuffle but is not — a doc's shingles are generated
+    row-locally, so map-side partial aggregation collapses each doc to
+    ONE (doc_id, h0..h7) row before the exchange. JVM higher-order
+    lambdas (array_min over transform) were 4× slower (interpreted,
+    ~2µs/step); a hashlib Arrow kernel (8×|shingles| md5 calls in
+    Python) was 2× slower — the JVM's codegen'd md5 is ~10× cheaper per
+    call than hashlib's construct+hexdigest round trip.
     """
     sh = doc_shingles(spark, sf_dir)
     aggs = [

@@ -153,6 +153,63 @@ def evt_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ["none", "view", "view_click", "view_click_purchase"]
+
+
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: how many users progressed
+    view → click → purchase IN TIME ORDER (a later click only counts
+    after the first view; a purchase only after that click).
+
+    One exchange total: the three per-user minima are chained window
+    aggregates over the SAME partitioning (t_click's predicate reads
+    t_view, etc.), so Catalyst reuses the user_id exchange for all
+    three Window operators, and the final per-user reduce is a
+    partial-agg groupBy. No self-joins, no per-user event arrays.
+
+    Scoped to the first day of the stream — over the full span every
+    user completes every stage and the funnel degenerates to one row."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select("user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    staged = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("tv"),
+        F.min("t_click").alias("tc"),
+        F.min("t_purchase").alias("tp"),
+    )
+    stage = (
+        F.when(F.col("tp").isNotNull(), FUNNEL_STAGES[3])
+        .when(F.col("tc").isNotNull(), FUNNEL_STAGES[2])
+        .when(F.col("tv").isNotNull(), FUNNEL_STAGES[1])
+        .otherwise(FUNNEL_STAGES[0])
+    )
+    return per_user.select(stage.alias("stage")).groupBy("stage").agg(
+        F.count("*").alias("n_users")
+    )
+
+
 EVENTS_ORACLES = {
     "evt_windowed_counts": """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
@@ -199,12 +256,45 @@ SELECT event_id AS click_id, user_id, view_id,
        epoch_us(ts) - view_us AS lag_us
 FROM carried WHERE event_type = 'click'
 """,
+    "evt_funnel": """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+    min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS t_view
+  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+),
+w2 AS (
+  SELECT *,
+    min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+      OVER (PARTITION BY user_id) AS t_click
+  FROM w1
+),
+w3 AS (
+  SELECT *,
+    min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+      OVER (PARTITION BY user_id) AS t_purchase
+  FROM w2
+),
+per_user AS (
+  SELECT user_id, min(t_view) AS tv, min(t_click) AS tc,
+         min(t_purchase) AS tp
+  FROM w3 GROUP BY user_id
+)
+SELECT CASE
+    WHEN tp IS NOT NULL THEN 'view_click_purchase'
+    WHEN tc IS NOT NULL THEN 'view_click'
+    WHEN tv IS NOT NULL THEN 'view'
+    ELSE 'none' END AS stage,
+  count(*) AS n_users
+FROM per_user GROUP BY 1
+""",
 }
 
 EVENTS_QUERIES = {
     "evt_windowed_counts": evt_windowed_counts,
     "evt_sessions": evt_sessions,
     "evt_asof_view_click": evt_asof_view_click,
+    "evt_funnel": evt_funnel,
 }
 
 

@@ -123,7 +123,9 @@ def make_shingle_udf():
     def shingles(texts):  # pd.Series -> pd.Series (PEP-563-safe: no hints)
         out = []
         for t in texts:
-            toks = t.split(" ")
+            # null-safe like the column form it replaced: NULL text →
+            # no shingles (explode_outer + isNotNull drops the row)
+            toks = t.split(" ") if t else []
             if len(toks) < 3:
                 out.append([])
                 continue

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash_mod_sql as _hash_mod_sql
 from ..plans.merged import get_merged
 
 N_NEG = 100
@@ -173,17 +174,11 @@ def _global_rank(df: DataFrame, n_parts: int = 32) -> DataFrame:
 
 
 def _hash_mod(prefix: str, i: "Column", n: int) -> "Column":
-    """Deterministic uniform index: first 15 hex digits of
-    md5('<prefix>|i') mod n — the identical expression is inlined into
-    the DuckDB oracle, so both engines draw the same 'random' stream."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix + "|"), i.cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % n
-    )
+    """Deterministic uniform index — the shared engine-parity hash
+    (functions/hashing.py), so both engines draw the same stream."""
+    from ..functions.hashing import hash_mod
+
+    return hash_mod(prefix, i, n)
 
 
 def holdout_negatives_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,10 +312,8 @@ univ AS (
 ),
 draws AS (
   SELECT i,
-    ('0x' || substr(md5('s|' || i), 1, 15))::UBIGINT
-      % (SELECT count(*) FROM univ) AS s_idx,
-    ('0x' || substr(md5('o|' || i), 1, 15))::UBIGINT
-      % (SELECT count(*) FROM univ) AS o_idx
+    {_hash_mod_sql('s', 'i', '(SELECT count(*) FROM univ)')} AS s_idx,
+    {_hash_mod_sql('o', 'i', '(SELECT count(*) FROM univ)')} AS o_idx
   FROM (SELECT unnest(range(0, 2 * (SELECT count(*) FROM merged_edges))) AS i)
 ),
 cand AS (

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash_mod, hash_mod_sql
 from ..sources.corpus import read_table
 
 PPM = 1_000_000
@@ -47,19 +48,9 @@ EPOCH_WEIGHTS = {
 
 
 def _hash_ppm(tag: str, doc_id: Column) -> Column:
-    """Uniform [0, 1e6) gate from md5('<tag>|doc_id') — the same
-    expression the DuckDB oracle inlines, so both engines draw the
-    identical stream (never rand(): partition-order dependent)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(tag + "|"), doc_id.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % PPM
-    )
+    """Uniform [0, 1e6) gate — the shared engine-parity hash
+    (functions/hashing.py; never rand(): partition-order dependent)."""
+    return hash_mod(tag, doc_id, PPM)
 
 
 def _rate_expr(rates: dict[str, int], lang: Column) -> Column:
@@ -113,10 +104,7 @@ def _rate_sql(rates: dict[str, int]) -> str:
 
 
 def _hash_ppm_sql(tag: str) -> str:
-    return (
-        f"(('0x' || substr(md5('{tag}|' || doc_id), 1, 15))::UBIGINT"
-        f" % {PPM})"
-    )
+    return hash_mod_sql(tag, "doc_id", str(PPM))
 
 
 SAMPLING_ORACLES = {

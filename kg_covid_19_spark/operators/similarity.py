@@ -247,11 +247,18 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-joins the (broadcastable-per-bucket) vector table twice.
     # Norms are precomputed per ROW: dot/(na*nb) with cached na/nb is
     # the identical double computation, evaluated |V| not |cand| times.
-    vecs = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    # vecs feeds three consumers (side's parent + the two vector
+    # re-joins) and side feeds both sides of the self-join — persist
+    # both so the scan/norm and the bucket kernel each run exactly once
+    vecs = (
+        _vectors(spark, sf_dir)
+        .withColumn("nrm", _norm(F.col("v")))
+        .persist()
+    )
     bucket_udf = make_bucket_udf()
     side = vecs.select(
         "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bk")
-    )
+    ).persist()
     pairs = (
         side.select(F.col("vec_id").alias("id_a"), "t", "bk")
         .join(side.select(F.col("vec_id").alias("id_b"), "t", "bk"),

@@ -147,12 +147,16 @@ def synonym_overlap(
         spark.read.text(gpi_path)
         .filter(~F.col("value").startswith("!"))
         .select(F.split("value", "\t").alias("f"))
+        # F.get (0-based, null-safe), not element_at: GPI rows can have
+        # fewer trailing fields (same reason gpi_nodes uses
+        # try_element_at) and ANSI element_at would throw
         .select(
-            F.element_at("f", 3).alias("gene_name"),
+            F.get("f", 2).alias("gene_name"),
             F.split(
-                F.regexp_replace(F.element_at("f", 5), "\n", ""), r"\|"
+                F.regexp_replace(F.get("f", 4), "\n", ""), r"\|"
             ).alias("syns"),
         )
+        .filter(F.col("gene_name").isNotNull())
     )
     with open(scholar_path) as fh:
         scholar_rows = [

@@ -74,20 +74,26 @@ def read_table_sidecar(spark: SparkSession, json_path: str) -> DataFrame:
     pages = spark.read.text(json_path, wholetext=True).select(
         F.from_json("value", _SIDECAR_SCHEMA).alias("pages")
     )
-    header = [
-        r["text"]
-        for r in pages.select(
-            F.col("pages").getItem(0)["data"].getItem(0).alias("h")
-        ).first()["h"]
-    ]
+    # F.get, not getItem: Spark 4 ANSI getItem throws on empty arrays,
+    # so a malformed/empty sidecar should surface as a clear error here
+    # rather than an INVALID_ARRAY_INDEX deep in the scan
+    head = pages.select(
+        F.get(F.get(F.col("pages"), 0)["data"], 0).alias("h")
+    ).first()["h"]
+    if not head:
+        raise ValueError(f"sidecar has no header row: {json_path}")
+    header = [r["text"] for r in head]
     rows = (
         pages.select(F.posexplode("pages").alias("pg", "page"))
         .select("pg", F.posexplode("page.data").alias("ri", "row"))
         .filter(~((F.col("pg") == 0) & (F.col("ri") == 0)))
         .select(F.transform("row", lambda c: c["text"]).alias("cells"))
     )
+    # F.get (null on missing), not getItem (ANSI throw): real tabula
+    # output has ragged rows, and the reference's zip(header, row)
+    # truncates rather than crashes (transform_utils.py:50-52)
     return rows.select(
-        *[F.col("cells").getItem(i).alias(h) for i, h in enumerate(header)]
+        *[F.get("cells", i).alias(h) for i, h in enumerate(header)]
     )
 
 

@@ -62,6 +62,16 @@ PIPELINE_BENCH = {
 def main() -> None:
     spark = get_spark(app_name="kg-spark-bench")
     spark.range(1).count()  # JVM warm-up, excluded from timings
+    # Python/Arrow worker warm-up (daemon fork pool + Arrow codepaths):
+    # otherwise the first pandas-UDF query pays ~2-8s of worker startup
+    # that has nothing to do with its plan
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(64).repartition(32).select(_warm("id")).count()
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 

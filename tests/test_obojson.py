@@ -186,3 +186,26 @@ def test_registry_falls_back_to_synthesized(spark, tmp_path):
     nodes, edges = DATA_SOURCES["GoTransform"](spark, str(tmp_path))
     assert nodes.count() > 0
     assert {r["provided_by"] for r in edges.collect()} == {"ontology"}
+
+
+def test_obojson_degenerate_inputs(spark, tmp_path):
+    """Edge-case contract: an edge-less graph yields 0 edges (not an
+    error); an empty graphs array yields empty frames; nodes without
+    meta keep null description and empty multi-values."""
+    import json
+
+    from kg_covid_19_spark.sources.obojson import obojson_transform
+
+    p1 = tmp_path / "noedges.json"
+    p1.write_text(json.dumps({"graphs": [{"id": "x", "nodes": [
+        {"id": "http://purl.obolibrary.org/obo/GO_0000001", "lbl": "n",
+         "type": "CLASS"}], "edges": []}]}))
+    nodes, edges = obojson_transform(spark, str(p1))
+    assert nodes.count() == 1
+    assert edges.count() == 0
+
+    p2 = tmp_path / "empty.json"
+    p2.write_text(json.dumps({"graphs": []}))
+    nodes, edges = obojson_transform(spark, str(p2))
+    assert nodes.count() == 0
+    assert edges.count() == 0

@@ -110,3 +110,46 @@ def test_asof_join_single_exchange(spark):
     assert len(re.findall(r"Exchange (?!SinglePartition)", plan)) == 1, plan
     assert len([l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]) == 1
     assert "Join" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key join WITHOUT any Exchange —
+    the write-once/join-many layout the 100-TB design leans on."""
+    from kg_covid_19_spark.plans.bucketed import (
+        bucketed_equijoin,
+        write_bucketed,
+    )
+    from kg_covid_19_spark.plans.pipeline import build_kg
+
+    import shutil
+
+    for t in ("bkt_nodes", "bkt_edges"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    nodes, edges = build_kg(spark, SF_DIR)
+    write_bucketed(nodes, "bkt_nodes", "id")
+    write_bucketed(
+        edges.withColumnRenamed("subject", "id"), "bkt_edges", "id"
+    )
+    # fixture tables are broadcast-sized; pin the thresholds down so
+    # the plan shows the shape a 100-TB fact-fact join would take
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed_plan(
+            bucketed_equijoin(spark, "bkt_edges", "bkt_nodes", "id")
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # bucket metadata reached the scan
+        assert "Bucketed: true" in plan, plan
+        got = bucketed_equijoin(spark, "bkt_edges", "bkt_nodes", "id").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    want = (
+        edges.withColumnRenamed("subject", "id").join(nodes, "id").count()
+    )
+    assert got == want

@@ -153,6 +153,32 @@ def evt_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window operator —
+    the same semantics evt_sessions builds manually from lag+cumsum
+    (their equality is itself asserted by the shared oracle shape:
+    window start = first event, window end = last event + gap). The
+    native form is the one that carries over to Structured Streaming
+    unchanged; the manual form exists because the reference-era
+    pattern predates session_window and because DuckDB can only
+    express the cumsum form."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_gap"),
+            "n_events",
+        )
+    )
+
+
 FUNNEL_STAGES = ["none", "view", "view_click", "view_click_purchase"]
 
 
@@ -234,6 +260,28 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
 """,
+    # native session_window semantics: a gap of EXACTLY the window size
+    # starts a new session ([start, end) windows) — hence >= here where
+    # evt_sessions' manual cumsum uses > (both pinned deliberately)
+    "evt_sessions_native": """
+WITH gapped AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gapped
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
     # windowed carry-forward, not DuckDB's native ASOF JOIN: ASOF leaves
     # the equal-max-ts tie unordered, this pins views-first + event_id
     "evt_asof_view_click": """
@@ -295,6 +343,7 @@ EVENTS_QUERIES = {
     "evt_sessions": evt_sessions,
     "evt_asof_view_click": evt_asof_view_click,
     "evt_funnel": evt_funnel,
+    "evt_sessions_native": evt_sessions_native,
 }
 
 

@@ -98,3 +98,29 @@ def read_kgx(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
         )
 
     return rd("nodes"), rd("edges")
+
+
+def package_kgx_tar(out_dir: str, tar_path: str) -> None:
+    """Package a written KGX tree as <name>.tar.gz — the reference
+    merge's published artifact shape (merge.yaml:123-136 writes
+    merged-kg.tar.gz). Driver-side by design: tarring is artifact
+    publication of already-distributed output, not data processing;
+    the members are the nodes/ and edges/ part files with their
+    relative paths, sorted for a reproducible archive."""
+    import os
+    import tarfile
+
+    with tarfile.open(tar_path, "w:gz") as tar:
+        members = []
+        for sub in ("nodes", "edges"):
+            root = os.path.join(out_dir, sub)
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue  # spark _SUCCESS / checksums
+                    full = os.path.join(dirpath, f)
+                    members.append(
+                        (os.path.relpath(full, out_dir), full)
+                    )
+        for arcname, full in sorted(members):
+            tar.add(full, arcname=arcname)

@@ -76,6 +76,23 @@ def evt_windowed_counts_stream(spark: SparkSession, sf_dir: str,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+SLIDE = "5 minutes"
+SLIDE_WIDTH = "10 minutes"
+
+
+def evt_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) windows — 10-minute windows every 5
+    minutes, so each event lands in exactly two windows. The oracle
+    expands the same two window-starts per event (time_bucket and
+    time_bucket − slide) and aggregates identically."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", SLIDE_WIDTH, SLIDE).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
 def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (the guide's lag+cumsum pattern): a new
     session starts when a user is idle > 30 minutes."""
@@ -260,6 +277,17 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
 """,
+    "evt_sliding_counts": """
+WITH expanded AS (
+  SELECT event_type,
+    unnest([time_bucket(INTERVAL '5 minutes', ts),
+            time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+      AS window_start
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n
+FROM expanded GROUP BY window_start, event_type
+""",
     # native session_window semantics: a gap of EXACTLY the window size
     # starts a new session ([start, end) windows) — hence >= here where
     # evt_sessions' manual cumsum uses > (both pinned deliberately)
@@ -344,6 +372,7 @@ EVENTS_QUERIES = {
     "evt_asof_view_click": evt_asof_view_click,
     "evt_funnel": evt_funnel,
     "evt_sessions_native": evt_sessions_native,
+    "evt_sliding_counts": evt_sliding_counts,
 }
 
 

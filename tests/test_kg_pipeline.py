@@ -57,3 +57,30 @@ def test_empty_input_builds_empty_graph(spark):
     assert edges.count() == 0
     # schema stays stable even with zero rows
     assert nodes.columns == ["id", "name", "category", "provided_by"]
+
+
+def test_package_kgx_tar_roundtrip(spark, tmp_path):
+    """KGX tree → tar.gz artifact (merge.yaml:123-136 shape) → extract →
+    read back identical frames."""
+    import tarfile
+
+    from kg_covid_19_spark.plans.pipeline import build_kg
+    from kg_covid_19_spark.sources.kgx import (
+        package_kgx_tar,
+        read_kgx,
+        write_kgx,
+    )
+
+    nodes, edges = build_kg(spark, SF_DIR)
+    out = str(tmp_path / "merged-kg")
+    write_kgx(nodes, edges, out)
+    tar_path = str(tmp_path / "merged-kg.tar.gz")
+    package_kgx_tar(out, tar_path)
+
+    ext = tmp_path / "extracted"
+    with tarfile.open(tar_path) as tar:
+        tar.extractall(ext)
+    rn, re_ = read_kgx(spark, str(ext))
+    assert rn.count() == nodes.count()
+    assert re_.count() == edges.count()
+    assert sorted(rn.columns) == sorted(nodes.columns)

@@ -21,6 +21,7 @@ LANG_MARKERS: dict[str, list[str]] = {
     "es": ["el", "los", "una"],
 }
 STOPWORDS = ["the", "a"]
+TOP_K_TOKENS = 20
 
 
 def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,6 +199,25 @@ def txt_len_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: exact top-K tokens by total
+    frequency, ties broken lexicographically (deterministic). The
+    groupBy keys on the vocabulary (bounded, partial-agg collapsed
+    map-side) and the final top-K is a TakeOrdered — no global sort
+    materializes. At 100 TB with an unbounded vocabulary the same
+    query shape runs over a count-min/space-saving sketch; exact is
+    right while the vocabulary fits an executor."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(TOP_K_TOKENS)
+    )
+
+
 # PII redaction patterns — shared Java-regex / RE2 subset only (no
 # lookarounds, memory rule). Order matters: emails before bare domains.
 PII_PATTERNS = [
@@ -299,6 +319,13 @@ SELECT doc_id, md5(text) AS fp_exact,
   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_set
 FROM documents
 """,
+    "txt_top_tokens": f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(*) AS n FROM toks WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT {TOP_K_TOKENS}
+""",
     "txt_redact_pii": f"""
 SELECT doc_id,
   substr({_redact_sql(
@@ -326,4 +353,6 @@ TEXTSTATS_QUERIES = {
     "txt_repetition": txt_repetition,
     "txt_redact_pii": txt_redact_pii,
     "txt_len_deciles": txt_len_deciles,
+    "txt_top_tokens": txt_top_tokens,
 }
+

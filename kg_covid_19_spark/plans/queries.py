@@ -193,6 +193,66 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_ROUNDS = 3
+
+
+def kg_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path lengths from the hub over the co-occurrence
+    graph, bounded to BFS_ROUNDS hops — the iterative-traversal
+    counterpart of kg_pagerank (same per-round persist discipline, same
+    unrolled-CTE oracle). Integer distances only: nothing float to
+    diverge. Each round is one join on the frontier key + one min
+    groupBy; unreached nodes are absent (no infinity sentinel)."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    dist = (
+        und.select(F.col("subject").alias("id"))
+        .distinct()
+        .filter(F.col("id") == HUB)
+        .select("id", F.lit(0).cast("int").alias("dist"))
+        .persist()
+    )
+    for _ in range(BFS_ROUNDS):
+        reached = (
+            und.join(dist, und.subject == dist.id)
+            .select(
+                F.col("object").alias("id"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+    return dist
+
+
+def _bfs_sql() -> str:
+    parts = [
+        """und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)""",
+        f"d0 AS (SELECT '{HUB}' AS id, 0 AS dist "
+        f"WHERE EXISTS (SELECT 1 FROM und WHERE subject = '{HUB}'))",
+    ]
+    for k in range(BFS_ROUNDS):
+        parts.append(
+            f"d{k + 1} AS (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{k} "
+            f"UNION ALL "
+            f"SELECT und.object AS id, d{k}.dist + 1 AS dist "
+            f"FROM und JOIN d{k} ON und.subject = d{k}.id"
+            f") GROUP BY id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, dist FROM d{BFS_ROUNDS}"
+
+
 def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity triangle participation over the co-occurrence graph —
     the clustering-structure metric next to degree (A5) and common
@@ -375,6 +435,7 @@ KG_QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
     "kg_triangle_counts": kg_triangle_counts,
+    "kg_hub_distances": kg_hub_distances,
 }
 
 
@@ -521,5 +582,9 @@ members AS (
   UNION ALL SELECT c FROM tri
 )
 SELECT id, count(*) AS n_triangles FROM members GROUP BY id
+""",
+    "kg_hub_distances": f"""
+WITH {_CTE},
+{_bfs_sql()}
 """,
 }

@@ -56,6 +56,11 @@ PIPELINE_BENCH = {
     "emb_cosine_neardup": SIM_QUERIES["emb_cosine_neardup"],
     "emb_ivf_ann": SIM_QUERIES["emb_ivf_ann"],
     "corpus_export": corpus_export,
+    # graph-algorithm suite (post-r01 additions — timed in suite_sec,
+    # deliberately outside the frozen headline `value`)
+    "kg_triangle_counts": KG_QUERIES["kg_triangle_counts"],
+    "kg_hub_distances": KG_QUERIES["kg_hub_distances"],
+    "kg_linked_mentions_scored": KG_QUERIES["kg_linked_mentions_scored"],
 }
 
 

@@ -199,6 +199,16 @@ def txt_len_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of declared vs
+    predicted language — the quality-eval readout of txt_lang_id
+    (one dictionary-bounded groupBy over the per-doc predictions)."""
+    preds = txt_lang_id(spark, sf_dir)
+    return preds.groupBy("declared_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+
+
 def txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: exact top-K tokens by total
     frequency, ties broken lexicographically (deterministic). The
@@ -326,6 +336,11 @@ WITH toks AS (
 SELECT token, count(*) AS n FROM toks WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token ASC LIMIT {TOP_K_TOKENS}
 """,
+    "txt_lang_confusion": f"""
+SELECT lang AS declared_lang, {_lang_pred_sql()} AS pred_lang,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+""",
     "txt_redact_pii": f"""
 SELECT doc_id,
   substr({_redact_sql(
@@ -354,5 +369,6 @@ TEXTSTATS_QUERIES = {
     "txt_redact_pii": txt_redact_pii,
     "txt_len_deciles": txt_len_deciles,
     "txt_top_tokens": txt_top_tokens,
+    "txt_lang_confusion": txt_lang_confusion,
 }
 

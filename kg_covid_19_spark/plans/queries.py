@@ -111,6 +111,45 @@ def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_jaccard_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scoring: Jaccard of neighbor sets per candidate
+    pair, in exact integer ppm (|N(x)∩N(y)| · 10⁶ div |N(x)∪N(y)| —
+    float division would hash-diverge on engine rounding). Builds on
+    the common-neighbors join; degrees come from one dictionary-bounded
+    aggregation and join back on the pair endpoints."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    deg = und.groupBy(F.col("subject").alias("id")).agg(
+        F.countDistinct("object").alias("deg")
+    )
+    a = und.select(F.col("subject").alias("x"), F.col("object").alias("via"))
+    b = und.select(F.col("subject").alias("y"), F.col("object").alias("via"))
+    common = (
+        a.join(b, "via")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.countDistinct("via").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    dx = deg.select(F.col("id").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("id").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        common.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000L div (deg_x + deg_y - n_common) "
+                "AS LONG)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-occurrence graph (A5/A8 extension):
     how many entities have each undirected degree. Two dictionary-
@@ -426,6 +465,7 @@ KG_QUERIES = {
     "kg_one_hop": kg_one_hop,
     "kg_two_hop": kg_two_hop,
     "kg_common_neighbors": kg_common_neighbors,
+    "kg_jaccard_link_scores": kg_jaccard_link_scores,
     "kg_degree_histogram": kg_degree_histogram,
     "kg_druggable_two_hop": kg_druggable_two_hop,
     "kg_provided_by_counts": kg_provided_by_counts,
@@ -508,6 +548,30 @@ FROM und a JOIN und b ON a.object = b.object
 WHERE a.subject < b.subject
 GROUP BY a.subject, b.subject
 HAVING count(DISTINCT a.object) >= 2
+""",
+    "kg_jaccard_link_scores": f"""
+WITH {_CTE},
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+deg AS (
+  SELECT subject AS id, count(DISTINCT object) AS deg FROM und GROUP BY subject
+),
+common AS (
+  SELECT a.subject AS x, b.subject AS y, count(DISTINCT a.object) AS n_common
+  FROM und a JOIN und b ON a.object = b.object
+  WHERE a.subject < b.subject
+  GROUP BY a.subject, b.subject
+  HAVING count(DISTINCT a.object) >= 2
+)
+SELECT c.x, c.y, c.n_common,
+  CAST(c.n_common * 1000000 // (dx.deg + dy.deg - c.n_common) AS BIGINT)
+    AS jaccard_ppm
+FROM common c
+JOIN deg dx ON c.x = dx.id
+JOIN deg dy ON c.y = dy.id
 """,
     "kg_druggable_two_hop": f"""
 WITH {_CTE},

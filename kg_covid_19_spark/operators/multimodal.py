@@ -205,7 +205,40 @@ def _feat_sql() -> str:
     return " || ',' || ".join(f"CAST({p} AS VARCHAR)" for p in parts)
 
 
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multimodal dedup: byte-identical media collapse on
+    md5(binary) — the same hash-groupBy shape as text dedup
+    (operators/dedup.exact_dup_clusters), run on the binary column so
+    the plan never decodes. Uses the dedup corpus (planted copies) so
+    the check is non-vacuous; min-doc_id survivor, deterministic."""
+    from .dedup import dedup_corpus
+
+    media = dedup_corpus(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return (
+        media.groupBy(F.md5("media").alias("media_hash"))
+        .agg(F.count("*").alias("n_media"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_media") > 1)
+    )
+
+
+def _dedup_corpus_cte() -> str:
+    from .dedup import DEDUP_CORPUS_CTE
+
+    return DEDUP_CORPUS_CTE
+
+
 MULTIMODAL_ORACLES = {
+    # DuckDB md5 takes VARCHAR, not BLOB; the media bytes ARE the
+    # UTF-8 encoding of text, so md5(text) hashes identical bytes to
+    # Spark's md5 over the binary column
+    "media_dedup_exact": f"""
+WITH {_dedup_corpus_cte()}
+SELECT md5(text) AS media_hash, count(*) AS n_media,
+       min(doc_id) AS keep_doc_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
     "media_metadata": """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        (octet_length(encode(text)) % 640) + 1 AS width,
@@ -245,4 +278,5 @@ MULTIMODAL_QUERIES = {
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
+    "media_dedup_exact": media_dedup_exact,
 }

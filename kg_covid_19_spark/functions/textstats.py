@@ -209,6 +209,34 @@ def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy in exact integers: each document's mean
+    corpus-frequency of its tokens, in ppm of the corpus token count
+    (low mean ⇒ rare-token-heavy ⇒ likely noise; the log-prob version
+    of this signal would hash-diverge on libm rounding, the integer
+    mean cannot). Two bounded shuffles: the vocabulary frequency table
+    (vocab-keyed, partial-agg collapsed) and the per-doc mean (doc-
+    keyed; each doc's exploded tokens join the frequency table on the
+    token key — at toy scale that table broadcasts, at web scale it is
+    the hash-join this plan already expresses)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    total = toks.count()  # scalar: corpus token count (metadata-scale job)
+    freq = toks.groupBy("token").agg(
+        F.expr(f"count(*) * 1000000L div {total}").alias("freq_ppm")
+    )
+    return (
+        toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(freq_ppm) div count(*)").alias("mean_freq_ppm"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 def txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: exact top-K tokens by total
     frequency, ties broken lexicographically (deterministic). The
@@ -341,6 +369,22 @@ SELECT lang AS declared_lang, {_lang_pred_sql()} AS pred_lang,
        count(*) AS n
 FROM documents GROUP BY 1, 2
 """,
+    "txt_rarity": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+freq AS (
+  SELECT token,
+    count(*) * 1000000 // (SELECT count(*) FROM clean) AS freq_ppm
+  FROM clean GROUP BY token
+)
+SELECT c.doc_id,
+  CAST(sum(f.freq_ppm) // count(*) AS BIGINT) AS mean_freq_ppm,
+  count(*) AS n_tokens
+FROM clean c JOIN freq f ON c.token = f.token
+GROUP BY c.doc_id
+""",
     "txt_redact_pii": f"""
 SELECT doc_id,
   substr({_redact_sql(
@@ -370,5 +414,6 @@ TEXTSTATS_QUERIES = {
     "txt_len_deciles": txt_len_deciles,
     "txt_top_tokens": txt_top_tokens,
     "txt_lang_confusion": txt_lang_confusion,
+    "txt_rarity": txt_rarity,
 }
 

@@ -278,6 +278,26 @@ def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)  # EXCEPT DISTINCT semantics
 
 
+def rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their own customer's
+    average order value) — the decorrelation class: Catalyst rewrites
+    the correlated aggregate into a join, which is exactly how the
+    DataFrame side states it. The comparison is cross-multiplied
+    integers (cents·n > sum_cents) so no engine ever divides — an
+    average would reintroduce float/decimal rounding divergence."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    pre = o.select("o_orderkey", "o_custkey", cents.alias("cents"))
+    per_cust = pre.groupBy("o_custkey").agg(
+        F.sum("cents").alias("sum_cents"), F.count("*").alias("n_orders")
+    )
+    return (
+        pre.join(per_cust, "o_custkey")
+        .filter(F.col("cents") * F.col("n_orders") > F.col("sum_cents"))
+        .select("o_orderkey", "o_custkey", "cents")
+    )
+
+
 def rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame — the time-window aggregation a ROWS frame
     can't express: per customer, order count and cents-sum over the 29
@@ -342,6 +362,7 @@ REL_QUERIES = {
     "rel_intersect": rel_intersect,
     "rel_except": rel_except,
     "rel_range_frame": rel_range_frame,
+    "rel_above_avg": rel_above_avg,
 }
 
 REL_ORACLES = {
@@ -457,6 +478,19 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
 EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+    # the oracle states it as the correlated subquery it is; Spark
+    # states the decorrelated join — same cross-multiplied predicate
+    "rel_above_avg": """
+WITH pre AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, cents
+FROM pre p
+WHERE p.cents * (SELECT count(*) FROM pre q WHERE q.o_custkey = p.o_custkey)
+      > (SELECT sum(cents) FROM pre q WHERE q.o_custkey = p.o_custkey)
 """,
     "rel_range_frame": """
 WITH o AS (

@@ -220,10 +220,15 @@ def txt_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     token key — at toy scale that table broadcasts, at web scale it is
     the hash-join this plan already expresses)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).filter(F.col("token") != "")
-    total = toks.count()  # scalar: corpus token count (metadata-scale job)
+    # persisted: toks feeds three consumers (the total-count job, the
+    # frequency build side, and the join probe side) — without it each
+    # invocation re-scans and re-explodes the corpus three times
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .persist()
+    )
+    total = toks.count()  # scalar: corpus token count (also warms the cache)
     freq = toks.groupBy("token").agg(
         F.expr(f"count(*) * 1000000L div {total}").alias("freq_ppm")
     )

@@ -253,6 +253,7 @@ def kg_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.lit(0).cast("int").alias("dist"))
         .persist()
     )
+    prev = dist
     for _ in range(BFS_ROUNDS):
         reached = (
             und.join(dist, und.subject == dist.id)
@@ -267,6 +268,9 @@ def kg_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .persist()
         )
+        dist.count()  # materialize before releasing the previous round
+        prev.unpersist()
+        prev = dist
     return dist
 
 
@@ -408,6 +412,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("deg")
     ).persist()
     r = deg.select("id", F.lit(_PPM).cast("long").alias("r"))
+    prev = None
     for _ in range(PR_ITERS):
         contrib = r.join(deg, "id").select(
             "id", F.expr("r div deg").alias("c")
@@ -429,6 +434,14 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
+        # materialize this round, then release the superseded one —
+        # stale frontiers would otherwise pin executor storage for the
+        # session lifetime (the cache-shadowing hazard)
+        r.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = r
+    deg.unpersist()  # final ranks are materialized; loop invariant done
     return r.select("id", F.col("r").alias("rank_ppm"))
 
 

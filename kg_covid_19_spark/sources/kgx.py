@@ -122,5 +122,10 @@ def package_kgx_tar(out_dir: str, tar_path: str) -> None:
                     members.append(
                         (os.path.relpath(full, out_dir), full)
                     )
+        if not members:
+            raise FileNotFoundError(
+                f"no KGX part files under {out_dir}/nodes or /edges — "
+                "refusing to publish an empty artifact"
+            )
         for arcname, full in sorted(members):
             tar.add(full, arcname=arcname)

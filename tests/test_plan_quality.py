@@ -153,3 +153,15 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         edges.withColumnRenamed("subject", "id").join(nodes, "id").count()
     )
     assert got == want
+
+
+def test_druggable_two_hop_broadcasts_drug_dim(spark):
+    """The druggable 2-hop joins hop tables to the drug dimension via
+    broadcast and never degenerates to a cartesian product — the
+    property PLANS.md states for this query."""
+    from kg_covid_19_spark.plans.queries import kg_druggable_two_hop
+
+    plan = _executed_plan(kg_druggable_two_hop(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -242,6 +242,27 @@ def txt_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 documents by quality within each language — the
+    top-N-per-group window pattern (rank over a bounded partition key;
+    groups are languages, so no skewed-reducer hazard). Ordering is
+    (quality DESC, doc_id ASC): quality is the already-parity-checked
+    6-decimal score, doc_id makes the order total."""
+    q = txt_quality(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        q.join(docs, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "quality")
+    )
+
+
 def txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: exact top-K tokens by total
     frequency, ties broken lexicographically (deterministic). The
@@ -374,6 +395,24 @@ SELECT lang AS declared_lang, {_lang_pred_sql()} AS pred_lang,
        count(*) AS n
 FROM documents GROUP BY 1, 2
 """,
+    "txt_top_docs_per_lang": """
+WITH q AS (
+  SELECT doc_id, lang,
+    round(least(len(string_split(text, ' ')) / 50.0, 1.0) *
+          (1.0 - abs(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('the', 'a'))) /
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.1)),
+          6) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, quality,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id ASC) AS rank
+  FROM q
+)
+SELECT lang, rank, doc_id, quality FROM ranked WHERE rank <= 3
+""",
     "txt_rarity": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -420,5 +459,6 @@ TEXTSTATS_QUERIES = {
     "txt_top_tokens": txt_top_tokens,
     "txt_lang_confusion": txt_lang_confusion,
     "txt_rarity": txt_rarity,
+    "txt_top_docs_per_lang": txt_top_docs_per_lang,
 }
 

@@ -165,3 +165,33 @@ def test_druggable_two_hop_broadcasts_drug_dim(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_fusion_is_two_phase(spark):
+    """The salted node fusion must show two aggregation exchanges — the
+    salt-local partial phase and the final id phase — so a refactor
+    can't silently collapse it back into one skew-prone groupBy."""
+    from kg_covid_19_spark.plans.merged import kg_merged_nodes_salted
+
+    plan = _executed_plan(kg_merged_nodes_salted(spark, SF_DIR))
+    n_agg_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_agg_exchanges >= 2, plan
+    assert "salt" in plan, plan  # the salt column reaches the physical plan
+
+
+def test_global_rank_has_no_single_partition_window(spark):
+    """_global_rank (fullscale negatives) must never plan a bare
+    row_number over an unpartitioned window: its local ranks are keyed
+    by the physical-partition column."""
+    from kg_covid_19_spark.operators.holdouts import _global_rank
+
+    df = spark.createDataFrame([(f"id{i:03d}",) for i in range(100)],
+                               "id string")
+    ranked = _global_rank(df, n_parts=8)
+    plan = _executed_plan(ranked)
+    for line in plan.splitlines():
+        if re.search(r"\bWindow\b", line):
+            assert "pid" in line, line
+    # and the mapping is the true global sorted rank
+    got = {r["id"]: r["idx"] for r in ranked.collect()}
+    assert got == {f"id{i:03d}": i for i in range(100)}

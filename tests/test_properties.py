@@ -291,3 +291,52 @@ def test_redact_pii_idempotent(spark, texts):
     ).collect()
     for r in twice:
         assert r["r1"] == r["r2"], r
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12),
+                 min_size=1, max_size=10),
+    n=st.integers(min_value=1, max_value=1_000_000),
+)
+@SET
+def test_hash_mod_range_and_partition_invariance(spark, ids, n):
+    """The shared deterministic gate (functions/hashing.py) lands in
+    [0, n) and never depends on partitioning."""
+    from kg_covid_19_spark.functions.hashing import hash_mod
+
+    df = spark.createDataFrame([(i,) for i in ids], "v long")
+    a = sorted(
+        (r["v"], r["h"])
+        for r in df.select("v", hash_mod("t", F.col("v"), n).alias("h")).collect()
+    )
+    b = sorted(
+        (r["v"], r["h"])
+        for r in df.repartition(7)
+        .select("v", hash_mod("t", F.col("v"), n).alias("h"))
+        .collect()
+    )
+    assert a == b
+    assert all(0 <= h < n for _, h in a)
+
+
+@given(
+    locals_=st.lists(
+        st.from_regex(r"[0-9]{1,7}", fullmatch=True), min_size=1, max_size=8
+    )
+)
+@SET
+def test_obo_purl_contraction_roundtrip(spark, locals_):
+    """contract_obo(OBO purl) → CURIE whose expand_curie inverse (OBO
+    rule) reproduces the purl — the lossless pair the nt sink relies on."""
+    from kg_covid_19_spark.sources.obojson import contract_obo
+    from kg_covid_19_spark.sources.rdf import expand_curie
+
+    iris = [f"http://purl.obolibrary.org/obo/MONDO_{x}" for x in locals_]
+    df = spark.createDataFrame([(i,) for i in iris], "iri string")
+    out = df.select(
+        "iri",
+        contract_obo(F.col("iri")).alias("curie"),
+    ).select("iri", "curie", expand_curie(F.col("curie")).alias("back"))
+    for r in out.collect():
+        assert r["curie"] == "MONDO:" + r["iri"].rsplit("_", 1)[1]
+        assert r["back"] == r["iri"], r

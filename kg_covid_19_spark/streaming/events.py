@@ -196,6 +196,36 @@ def evt_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day cohort retention: per activity day, how many
+    distinct users were active and how many of them were also active
+    the next day. Two bounded aggregations (distinct (day, user) is at
+    most days×users) and one self-join on the shifted day — the
+    standard cohort-analysis shape, all exact integers."""
+    ev = _events(spark, sf_dir)
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    active = ev.select(day.alias("day"), "user_id").distinct()
+    nxt = active.select(
+        (F.col("day") - 1).alias("day"), F.col("user_id")
+    )
+    return (
+        active.alias("a")
+        .join(
+            nxt.alias("b"),
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") == F.col("b.user_id")),
+            "left",
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.countDistinct("a.user_id").alias("n_active"),
+            F.countDistinct("b.user_id").alias("n_retained_next_day"),
+        )
+    )
+
+
 FUNNEL_STAGES = ["none", "view", "view_click", "view_click_purchase"]
 
 
@@ -276,6 +306,19 @@ sess AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
+""",
+    "evt_retention": """
+WITH active AS (
+  SELECT DISTINCT
+    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, user_id
+  FROM events
+),
+nxt AS (SELECT day - 1 AS day, user_id FROM active)
+SELECT a.day, count(DISTINCT a.user_id) AS n_active,
+       count(DISTINCT b.user_id) AS n_retained_next_day
+FROM active a
+LEFT JOIN nxt b ON a.day = b.day AND a.user_id = b.user_id
+GROUP BY a.day
 """,
     "evt_sliding_counts": """
 WITH expanded AS (
@@ -373,6 +416,7 @@ EVENTS_QUERIES = {
     "evt_funnel": evt_funnel,
     "evt_sessions_native": evt_sessions_native,
     "evt_sliding_counts": evt_sliding_counts,
+    "evt_retention": evt_retention,
 }
 
 

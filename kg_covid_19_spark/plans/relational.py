@@ -278,6 +278,19 @@ def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)  # EXCEPT DISTINCT semantics
 
 
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit LEFT SEMI join (the EXISTS shape merge-time filters use
+    internally, F9): customers with at least one 1995 order — probe side
+    never duplicates, build side projected to the key only."""
+    c = _t(spark, sf_dir, "customer")
+    o95 = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o95, "c_custkey", "semi").select("c_custkey", "c_mktsegment")
+
+
 def rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (orders above their own customer's
     average order value) — the decorrelation class: Catalyst rewrites
@@ -363,6 +376,7 @@ REL_QUERIES = {
     "rel_except": rel_except,
     "rel_range_frame": rel_range_frame,
     "rel_above_avg": rel_above_avg,
+    "rel_semi_join": rel_semi_join,
 }
 
 REL_ORACLES = {
@@ -478,6 +492,13 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
 EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+    "rel_semi_join": """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995
+)
 """,
     # the oracle states it as the correlated subquery it is; Spark
     # states the decorrelated join — same cross-multiplied predicate

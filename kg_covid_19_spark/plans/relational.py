@@ -291,6 +291,31 @@ def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o95, "c_custkey", "semi").select("c_custkey", "c_mktsegment")
 
 
+def rel_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — year-over-year reconciliation: per-customer
+    1995 vs 1996 order counts, keeping customers present in either
+    year (absent side coalesced to 0)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = year_counts(1995, "n95")
+    b = year_counts(1996, "n96")
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n95", F.lit(0)).alias("n95"),
+            F.coalesce("n96", F.lit(0)).alias("n96"),
+        )
+    )
+
+
 def rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (orders above their own customer's
     average order value) — the decorrelation class: Catalyst rewrites
@@ -377,6 +402,7 @@ REL_QUERIES = {
     "rel_range_frame": rel_range_frame,
     "rel_above_avg": rel_above_avg,
     "rel_semi_join": rel_semi_join,
+    "rel_full_outer": rel_full_outer,
 }
 
 REL_ORACLES = {
@@ -492,6 +518,19 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
 EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+    "rel_full_outer": """
+WITH a AS (
+  SELECT o_custkey, count(*) AS n95 FROM orders
+  WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey, count(*) AS n96 FROM orders
+  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+)
+SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(a.n95, 0) AS n95, coalesce(b.n96, 0) AS n96
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
 """,
     "rel_semi_join": """
 SELECT c_custkey, c_mktsegment FROM customer c

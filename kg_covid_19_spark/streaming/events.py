@@ -196,6 +196,26 @@ def evt_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-column analytics (the C11 ragged-JSON family at query
+    level): extract props.k from the JSON string per event and
+    aggregate min/max/sum per event_type — extraction stays inside
+    codegen (get_json_object), integers stay exact."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day cohort retention: per activity day, how many
     distinct users were active and how many of them were also active
@@ -307,6 +327,16 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
 """,
+    "evt_props_stats": """
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, min(k) AS k_min, max(k) AS k_max,
+       sum(k) AS k_sum, count(*) AS n
+FROM k WHERE k IS NOT NULL GROUP BY event_type
+""",
     "evt_retention": """
 WITH active AS (
   SELECT DISTINCT
@@ -417,6 +447,7 @@ EVENTS_QUERIES = {
     "evt_sessions_native": evt_sessions_native,
     "evt_sliding_counts": evt_sliding_counts,
     "evt_retention": evt_retention,
+    "evt_props_stats": evt_props_stats,
 }
 
 

@@ -226,6 +226,40 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself: for each LSH candidate pair, the
+    fraction of agreeing signature components in exact ppm
+    (agree · 10⁶ div N_HASHES) — what the sketch is for, next to the
+    exact verify (doc_neardup_pairs). Join cost bounded by the
+    candidate set; signatures are |docs|-sized."""
+    sig = minhash_signatures(spark, sf_dir)
+    cand = minhash_candidates(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", agree.alias("n_agree"))
+        .select(
+            "a",
+            "b",
+            "n_agree",
+            F.expr(f"CAST(n_agree * 1000000L div {N_HASHES} AS LONG)")
+            .alias("jaccard_est_ppm"),
+        )
+    )
+
+
 def neardup_pairs(spark: SparkSession, sf_dir: str,
                   threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
@@ -547,6 +581,15 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """,
+    "doc_minhash_jaccard_est": f"""
+WITH {_candidates_sql()}
+SELECT c.a, c.b,
+  ({" + ".join(f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES))}) AS n_agree,
+  CAST(({" + ".join(f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES))}) * 1000000 // {N_HASHES} AS BIGINT) AS jaccard_est_ppm
+FROM cand c
+JOIN sigs sa ON c.a = sa.doc_id
+JOIN sigs sb ON c.b = sb.doc_id
+""",
     "doc_dup_ngrams": f"""
 WITH sh AS (
   SELECT doc_id, unnest(
@@ -572,4 +615,5 @@ DEDUP_QUERIES = {
     "doc_simhash_neardup": simhash_neardup_pairs,
     "doc_dup_ngrams": doc_dup_ngrams,
     "doc_decontaminate": doc_decontaminate,
+    "doc_minhash_jaccard_est": minhash_jaccard_estimate,
 }

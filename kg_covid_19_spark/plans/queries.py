@@ -301,27 +301,58 @@ def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustering-structure metric next to degree (A5) and common
     neighbors (J12 extension).
 
-    The edge set is stored once with subject < object, so the
-    enumeration joins are ordered by construction (a<b<c): wedges from
-    (a,b)⋈(b,c), closed by (a,c) — each triangle found exactly once,
-    no orientation dedup pass. Both joins key on single edge columns;
-    at web scale the standard refinement is the same plan over
-    degree-ordered edges so high-degree hubs sit on the small side."""
+    Edges are oriented lower-degree → higher-degree endpoint (ties by
+    id) before enumeration — the standard degree-ordering refinement.
+    Under id-ordering a degree-d hub contributes d² wedge rows (Σ deg²
+    ≈ quadratic in the hub degree on a power-law web graph); under
+    degree-ordering every out-neighborhood is ≤ O(√m) amortized, so
+    the wedge intermediate is O(m^1.5) worst case and far smaller in
+    practice — hubs sit on the *closing* side of the join, never the
+    wedge-generating side. Each triangle {a,b,c} with a<b<c in
+    (degree, id) order is produced exactly once as a→b, a→c wedge
+    closed by b→c. The triangle set is orientation-invariant, so the
+    DuckDB oracle (plain a<b<c id-ordering) is unchanged."""
     _, edges = get_kg(spark, sf_dir)
     e = (
         edges.filter(F.col("predicate") == "biolink:correlated_with")
         .select("subject", "object")
     )
-    wedges = (
-        e.select(F.col("subject").alias("a"), F.col("object").alias("b"))
-        .join(
-            e.select(F.col("subject").alias("b"), F.col("object").alias("c")),
-            "b",
-        )
+    deg = (
+        e.select(F.col("subject").alias("id"))
+        .union(e.select(F.col("object").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("id").alias("subject"), F.col("deg").alias("ds")),
+        "subject",
+    ).join(
+        deg.select(F.col("id").alias("object"), F.col("deg").alias("do")),
+        "object",
+    )
+    fwd = (F.col("ds") < F.col("do")) | (
+        (F.col("ds") == F.col("do")) & (F.col("subject") < F.col("object"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("subject")).otherwise(F.col("object")).alias("src"),
+        F.when(fwd, F.col("object")).otherwise(F.col("subject")).alias("dst"),
+        F.when(fwd, F.col("do")).otherwise(F.col("ds")).alias("deg_dst"),
+    )
+    w1 = o.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("deg_dst").alias("deg_b"),
+    )
+    w2 = o.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("deg_dst").alias("deg_c"),
+    )
+    wedges = w1.join(w2, "a").filter(
+        (F.col("deg_b") < F.col("deg_c"))
+        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
     )
     tri = wedges.join(
-        e.select(F.col("subject").alias("a"), F.col("object").alias("c")),
-        ["a", "c"],
+        o.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
     )
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
@@ -333,6 +364,27 @@ def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINK_MAX_DIST = 2
 
 
+def _deletion_keys(col: str) -> F.Column:
+    """SymSpell blocking keys: every string reachable from `col` by
+    deleting ≤ LINK_MAX_DIST (=2) characters, the string itself
+    included. Pure higher-order-function column expression — stays in
+    whole-stage codegen, no Python. lev(a,b) ≤ 2 guarantees the two
+    key sets intersect (a substitution deletes one char from both
+    sides, an insertion/deletion deletes one char from exactly one
+    side), so an equi-join on these keys is a lossless candidate
+    generator for the ≤2 edit-distance verify."""
+    d1 = (
+        f"transform(sequence(1, length({col})), i -> "
+        f"concat(substring({col}, 1, i-1), substring({col}, i+1, 1000000)))"
+    )
+    d2 = (
+        f"flatten(transform({d1}, s -> CASE WHEN length(s) < 1 THEN "
+        f"array() ELSE transform(sequence(1, length(s)), j -> "
+        f"concat(substring(s, 1, j-1), substring(s, j+1, 1000000))) END))"
+    )
+    return F.expr(f"array_distinct(concat(array({col}), {d1}, {d2}))")
+
+
 def kg_linked_mentions_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scored entity linking (north-star: "entity linking scores
     candidate mentions against a broadcast ontology/CURIE dictionary"):
@@ -342,31 +394,40 @@ def kg_linked_mentions_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmin, no RNG, no ties left to the engine.
 
     Scale shape: distinct tokens are a dictionary-bounded groupBy
-    (vocabulary, not corpus, sized); the scoring join is a
-    broadcast nested-loop against the tiny dictionary (the broadcast-
-    dictionary discipline of the mention kernel, just with a fuzzy
-    predicate), and the argmin is a partial-agg min over a struct key."""
+    (vocabulary, not corpus, sized); candidate generation is BLOCKED,
+    not a nested loop — both sides explode into their ≤2-deletion
+    neighborhoods (the SymSpell key set: lev(a,b) ≤ 2 ⟹ some string
+    is reachable from both by ≤2 single-character deletions, because
+    each edit op deletes ≤1 char from each side), the join is a
+    broadcast HASH join on that block key, and only the surviving
+    candidates pay the O(len²) levenshtein verify. A 10⁶-surface
+    dictionary costs |dict|·O(len²) keys instead of |vocab|·|dict|
+    edit-distance evaluations — linearithmic candidates, identical
+    output (the blocking is lossless for d ≤ LINK_MAX_DIST, so the
+    full-semantics DuckDB oracle is unchanged). The argmin is a
+    partial-agg min over a struct key and is insensitive to the
+    duplicate candidates multiple shared block keys produce."""
     docs = read_table(spark, sf_dir, "documents")
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
     )
-    gaz = F.broadcast(
-        spark.createDataFrame(
-            normalized_gazetteer(),
-            "term string, curie string, name string, category string",
-        ).select("term", "curie")
+    gaz = spark.createDataFrame(
+        normalized_gazetteer(),
+        "term string, curie string, name string, category string",
+    ).select("term", "curie")
+    tok_keys = toks.select(
+        "token", F.explode(_deletion_keys("token")).alias("k")
     )
-    # length-difference bound first: |len(a)−len(b)| ≤ d is implied by
-    # levenshtein ≤ d, costs one comparison, and prunes most of the
-    # vocabulary×dictionary pairs before the O(len²) edit distance runs
-    len_ok = (
-        F.abs(F.length("token") - F.length("term")) <= LINK_MAX_DIST
+    gaz_keys = gaz.select(
+        "term", "curie", F.explode(_deletion_keys("term")).alias("k")
     )
     d = F.levenshtein(F.col("token"), F.col("term"))
-    scored = toks.join(gaz, len_ok & (d <= LINK_MAX_DIST)).select(
-        "token", "curie", d.alias("distance")
+    scored = (
+        tok_keys.join(F.broadcast(gaz_keys), "k")
+        .filter(d <= LINK_MAX_DIST)
+        .select("token", "curie", d.alias("distance"))
     )
     best = scored.groupBy("token").agg(
         F.min(F.struct("distance", "curie")).alias("b")

@@ -223,14 +223,15 @@ def rel_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     (W1) doesn't exercise. Cents-exact longs so the running sums hash
     identically across engines regardless of summation order.
 
-    Cents are derived via an exact decimal path (cast to DECIMAL(15,2)
-    first, then multiply by 100) — never `round(double*100)`, whose
-    half-up-on-decimal-string (Spark) vs round-on-binary-value (DuckDB)
-    divergence is engine-dependent."""
+    Cents are derived via pure IEEE-754 arithmetic — floor(x*100 + 0.5)
+    — which is bit-identical in any engine regardless of its
+    decimal-cast rounding policy (half-up-on-decimal-string vs
+    round-on-binary-value divergence is thereby unreachable). Prices
+    are non-negative so floor(+0.5) == round-half-up."""
     w = Window.partitionBy("o_custkey").orderBy(
         F.asc("o_orderdate"), F.asc("o_orderkey")
     )
-    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") <= 100)
@@ -324,7 +325,7 @@ def rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (cents·n > sum_cents) so no engine ever divides — an
     average would reintroduce float/decimal rounding divergence."""
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     pre = o.select("o_orderkey", "o_custkey", cents.alias("cents"))
     per_cust = pre.groupBy("o_custkey").agg(
         F.sum("cents").alias("sum_cents"), F.count("*").alias("n_orders")
@@ -342,7 +343,8 @@ def rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     days preceding each order (inclusive). The frame bound is on the
     epoch-day VALUE, so peers (same-day orders) are always in-frame
     together — identical semantics in both engines; cents go through
-    the exact decimal path (never round(double))."""
+    the pure-IEEE floor(x*100+0.5) path (bit-identical across
+    engines, unlike decimal casts whose rounding policy varies)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
     pre = o.select(
         "o_custkey",
@@ -350,7 +352,7 @@ def rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
         ).alias("d"),
-        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("cents"),
     )
@@ -544,7 +546,7 @@ WHERE EXISTS (
     "rel_above_avg": """
 WITH pre AS (
   SELECT o_orderkey, o_custkey,
-         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders
 )
 SELECT o_orderkey, o_custkey, cents
@@ -556,12 +558,15 @@ WHERE p.cents * (SELECT count(*) FROM pre q WHERE q.o_custkey = p.o_custkey)
 WITH o AS (
   SELECT o_custkey, o_orderkey,
          date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
-         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders WHERE o_custkey <= 200
 )
 SELECT o_custkey, o_orderkey,
-  count(*) OVER w AS n_orders_30d,
-  sum(cents) OVER w AS cents_30d
+  CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+  -- DuckDB types sum(BIGINT) as HUGEINT, which has no Arrow int128 and
+  -- degrades to double through a pandas/Arrow fetch — cast back so the
+  -- driver-side hash sees an int64 on both engines.
+  CAST(sum(cents) OVER w AS BIGINT) AS cents_30d
 FROM o
 WINDOW w AS (PARTITION BY o_custkey ORDER BY d
              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
@@ -569,13 +574,15 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY d
     "rel_running_total": """
 WITH o AS (
   SELECT o_custkey, o_orderkey, o_orderdate,
-         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS price_cents
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
   FROM orders WHERE o_custkey <= 100
 )
 SELECT o_custkey, o_orderkey, price_cents,
-  sum(price_cents) OVER (
+  -- CAST: DuckDB sum(BIGINT) is HUGEINT → degrades to double through an
+  -- Arrow/pandas fetch (no int128); int64 on both engines hashes equal.
+  CAST(sum(price_cents) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
   price_cents - lag(price_cents, 1) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
   ) AS delta_cents

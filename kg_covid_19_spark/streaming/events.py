@@ -318,9 +318,11 @@ WITH gapped AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
+  -- CAST: DuckDB sum(INT) is HUGEINT (no Arrow int128) — degrades to
+  -- double through a pandas fetch; int64 hashes identically to Spark.
   SELECT user_id, ts,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM gapped
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -334,7 +336,7 @@ WITH k AS (
   FROM events
 )
 SELECT event_type, min(k) AS k_min, max(k) AS k_max,
-       sum(k) AS k_sum, count(*) AS n
+       CAST(sum(k) AS BIGINT) AS k_sum, count(*) AS n
 FROM k WHERE k IS NOT NULL GROUP BY event_type
 """,
     "evt_retention": """
@@ -374,8 +376,8 @@ WITH gapped AS (
 ),
 sess AS (
   SELECT user_id, ts,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS UNBOUNDED PRECEDING) AS sid
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM gapped
 )
 SELECT user_id, min(ts) AS session_start,

@@ -195,3 +195,30 @@ def test_global_rank_has_no_single_partition_window(spark):
     # and the mapping is the true global sorted rank
     got = {r["id"]: r["idx"] for r in ranked.collect()}
     assert got == {f"id{i:03d}": i for i in range(100)}
+
+
+def test_linked_mentions_is_blocked_equi_join(spark):
+    """Fuzzy entity linking must generate candidates via the SymSpell
+    deletion-key equi-join (broadcast HASH join on the block key), not
+    a vocab×dictionary BroadcastNestedLoopJoin with a levenshtein
+    predicate — the production shape for a 10⁶-surface dictionary."""
+    from kg_covid_19_spark.plans.queries import kg_linked_mentions_scored
+
+    plan = _executed_plan(kg_linked_mentions_scored(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_triangle_edges_are_degree_oriented(spark):
+    """Triangle enumeration must orient edges lower-degree →
+    higher-degree before the wedge join (Σ outdeg² ≈ O(m^1.5) bound);
+    the degree computation shows up as aggregation exchanges feeding
+    the wedge join rather than a bare self-join of the raw edge set."""
+    from kg_covid_19_spark.plans.queries import kg_triangle_counts
+
+    plan = _executed_plan(kg_triangle_counts(spark, SF_DIR))
+    # the orientation conditionals reach the physical plan (deg_dst is
+    # collapsed by Catalyst into the deg_b/deg_c wedge projections)
+    assert "deg_b" in plan and "deg_c" in plan, plan
+    assert "CASE WHEN" in plan, plan  # the low→high orientation swap

@@ -95,7 +95,19 @@ def main() -> int:
         t0 = time.time()
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        # Fetch through Arrow, not fetchall(): the round driver fetches the
+        # oracle result via Arrow/pandas, where DuckDB types with no Arrow
+        # lane (HUGEINT = sum(BIGINT), int128) degrade to double and hash
+        # differently from Spark's int64. A native fetchall() returns exact
+        # Python ints and would hide exactly that class of divergence —
+        # the r2 rel_running_total/rel_range_frame reds.
+        tbl = res.arrow()
+        for field in tbl.schema:
+            ft = str(field.type)
+            if ft.startswith("decimal") and "decimal" not in name:
+                print(f"      WARN {name}.{field.name}: oracle emits {ft} — "
+                      f"cast to BIGINT/DOUBLE for a driver-stable hash")
+        orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
         duck_t = time.time() - t0
         ok_count = len(rows) == len(orows)
         ok_schema = sorted(cols) == sorted(ocols)

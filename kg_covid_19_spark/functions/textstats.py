@@ -209,6 +209,34 @@ def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKS_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+
+
+def _rarity_tokens(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """(doc_id, token) exploded corpus + total token count, persisted
+    per (application, input) — the get_kg/doc_shingles keyed-cache
+    pattern. toks feeds three consumers (the total-count job, the
+    frequency build side, and the join probe side); a per-invocation
+    persist would accumulate pinned storage across bench/check loops
+    instead of reusing one entry."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TOKS_CACHE:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        toks = (
+            docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .persist()
+        )
+        _TOKS_CACHE[key] = (toks, toks.count())
+    return _TOKS_CACHE[key]
+
+
 def txt_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality proxy in exact integers: each document's mean
     corpus-frequency of its tokens, in ppm of the corpus token count
@@ -219,16 +247,7 @@ def txt_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed; each doc's exploded tokens join the frequency table on the
     token key — at toy scale that table broadcasts, at web scale it is
     the hash-join this plan already expresses)."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # persisted: toks feeds three consumers (the total-count job, the
-    # frequency build side, and the join probe side) — without it each
-    # invocation re-scans and re-explodes the corpus three times
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .persist()
-    )
-    total = toks.count()  # scalar: corpus token count (also warms the cache)
+    toks, total = _rarity_tokens(spark, sf_dir)
     freq = toks.groupBy("token").agg(
         F.expr(f"count(*) * 1000000L div {total}").alias("freq_ppm")
     )

@@ -136,7 +136,9 @@ def holdout_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEG_LABEL = "negative_edge"  # make_holdouts.py:119-120 defaults
 
 
-def _global_rank(df: DataFrame, n_parts: int = 32) -> DataFrame:
+def _global_rank(
+    df: DataFrame, n_parts: int = 32, materialize: bool = False
+) -> DataFrame:
     """id → dense 0-based rank in global sorted order, distributed.
 
     A bare ``row_number() OVER (ORDER BY id)`` funnels the whole table
@@ -146,6 +148,12 @@ def _global_rank(df: DataFrame, n_parts: int = 32) -> DataFrame:
     offsets (≤n_parts rows collected — the same bookkeeping
     zipWithIndex does). The (id → idx) mapping is global sorted rank,
     so it is deterministic regardless of where range boundaries fall.
+
+    materialize=True persists + counts the RESULT and unpersists the
+    local-rank intermediate before returning, so repeated invocations
+    in a long session don't accumulate pinned storage (the returned
+    frame is the one thing callers keep; route it through a keyed
+    session cache like _ranked_universe does).
     """
     part = df.repartitionByRange(n_parts, "id").withColumn(
         "pid", F.spark_partition_id()
@@ -168,9 +176,32 @@ def _global_rank(df: DataFrame, n_parts: int = 32) -> DataFrame:
             [(p, o) for p, o in offsets.items()], "pid int, off long"
         )
     )
-    return local.join(off_df, "pid").select(
+    out = local.join(off_df, "pid").select(
         "id", (F.col("off") + F.col("lr") - 1).alias("idx")
     )
+    if materialize:
+        out = out.persist()
+        out.count()  # fill the result cache while `local` is still hot
+        local.unpersist(False)
+    return out
+
+
+_UNIV_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+
+
+def _ranked_universe(
+    spark: SparkSession, sf_dir: str, universe: DataFrame
+) -> tuple[DataFrame, int]:
+    """Keyed session cache for the ranked node universe (the get_kg /
+    doc_shingles pattern): one persisted (id, idx) frame per
+    (application, input) instead of a fresh persist per invocation —
+    repeated fullscale-negative runs in a bench loop reuse it rather
+    than accumulating pinned storage."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _UNIV_CACHE:
+        univ = _global_rank(universe, materialize=True)
+        _UNIV_CACHE[key] = (univ, univ.count())
+    return _UNIV_CACHE[key]
 
 
 def _hash_mod(prefix: str, i: "Column", n: int) -> "Column":
@@ -204,8 +235,7 @@ def holdout_negatives_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("object").alias("id")))
         .distinct()
     )
-    univ = _global_rank(universe).persist()
-    n_univ = univ.count()
+    univ, n_univ = _ranked_universe(spark, sf_dir, universe)
     n_edges = edges.count()
 
     draws = spark.range(0, 2 * n_edges).select(

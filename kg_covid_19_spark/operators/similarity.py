@@ -218,6 +218,31 @@ def make_pair_cos_udf():
     return pair_cos
 
 
+_NEARDUP_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _neardup_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(vecs-with-norm, exploded (vec_id, t, bk) bucket side) persisted
+    per (application, input) — the get_kg/doc_shingles keyed-cache
+    pattern, replacing the per-invocation persist that accumulated
+    pinned storage across bench/check loops."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEARDUP_CACHE:
+        vecs = (
+            _vectors(spark, sf_dir)
+            .withColumn("nrm", _norm(F.col("v")))
+            .persist()
+        )
+        bucket_udf = make_bucket_udf()
+        side = vecs.select(
+            "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bk")
+        ).persist()
+        _NEARDUP_CACHE[key] = (vecs, side)
+    return _NEARDUP_CACHE[key]
+
+
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -249,16 +274,10 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical double computation, evaluated |V| not |cand| times.
     # vecs feeds three consumers (side's parent + the two vector
     # re-joins) and side feeds both sides of the self-join — persist
-    # both so the scan/norm and the bucket kernel each run exactly once
-    vecs = (
-        _vectors(spark, sf_dir)
-        .withColumn("nrm", _norm(F.col("v")))
-        .persist()
-    )
-    bucket_udf = make_bucket_udf()
-    side = vecs.select(
-        "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bk")
-    ).persist()
+    # both so the scan/norm and the bucket kernel each run exactly
+    # once, via the keyed session cache (one pinned entry per
+    # application × input, not one per invocation)
+    vecs, side = _neardup_frames(spark, sf_dir)
     pairs = (
         side.select(F.col("vec_id").alias("id_a"), "t", "bk")
         .join(side.select(F.col("vec_id").alias("id_b"), "t", "bk"),

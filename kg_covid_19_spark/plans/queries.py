@@ -234,8 +234,24 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BFS_ROUNDS = 3
 
+# final frames of the iterative queries, persisted once per
+# (application, input, query) — the get_kg keyed-cache pattern. The
+# loop bodies already unpersist superseded rounds; this bounds the one
+# frame that outlives the loop, so bench/check sweeps that re-invoke
+# these queries reuse the result instead of pinning a fresh copy each
+# time (the cache-accumulation hazard ADVICE r2 flagged).
+_ITER_CACHE: dict[tuple, DataFrame] = {}
+
 
 def kg_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper — see _hub_distances_build."""
+    key = (spark.sparkContext.applicationId, sf_dir, "hub_distances")
+    if key not in _ITER_CACHE:
+        _ITER_CACHE[key] = _hub_distances_build(spark, sf_dir)
+    return _ITER_CACHE[key]
+
+
+def _hub_distances_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS shortest-path lengths from the hub over the co-occurrence
     graph, bounded to BFS_ROUNDS hops — the iterative-traversal
     counterpart of kg_pagerank (same per-round persist discipline, same
@@ -445,6 +461,14 @@ _PPM = 1_000_000
 
 
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper — see _pagerank_build."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pagerank")
+    if key not in _ITER_CACHE:
+        _ITER_CACHE[key] = _pagerank_build(spark, sf_dir)
+    return _ITER_CACHE[key]
+
+
+def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity importance over the co-occurrence graph: PR_ITERS rounds
     of damped degree-normalized message passing (PageRank power
     iteration) — the engine's iterative-algorithm surface.

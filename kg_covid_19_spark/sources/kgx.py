@@ -104,13 +104,27 @@ def package_kgx_tar(out_dir: str, tar_path: str) -> None:
     """Package a written KGX tree as <name>.tar.gz — the reference
     merge's published artifact shape (merge.yaml:123-136 writes
     merged-kg.tar.gz). Driver-side by design: tarring is artifact
-    publication of already-distributed output, not data processing;
-    the members are the nodes/ and edges/ part files with their
-    relative paths, sorted for a reproducible archive."""
+    publication of already-distributed output, not data processing.
+    The archive is byte-reproducible: members sorted, tar headers
+    normalized (mtime/uid/gid 0, no user/group names), and the gzip
+    stream written with mtime=0 — identical inputs produce identical
+    bytes on any host at any time."""
+    import gzip
     import os
     import tarfile
 
-    with tarfile.open(tar_path, "w:gz") as tar:
+    def _scrub(ti: tarfile.TarInfo) -> tarfile.TarInfo:
+        ti.mtime = 0
+        ti.uid = ti.gid = 0
+        ti.uname = ti.gname = ""
+        return ti
+
+    # filename="" keeps the gzip FNAME field empty (a named GzipFile
+    # embeds the output basename in the header — path-dependent bytes)
+    with open(tar_path, "wb") as fh, \
+            gzip.GzipFile(filename="", mode="wb",
+                          fileobj=fh, mtime=0) as raw, \
+            tarfile.open(fileobj=raw, mode="w") as tar:
         members = []
         for sub in ("nodes", "edges"):
             root = os.path.join(out_dir, sub)
@@ -128,4 +142,4 @@ def package_kgx_tar(out_dir: str, tar_path: str) -> None:
                 "refusing to publish an empty artifact"
             )
         for arcname, full in sorted(members):
-            tar.add(full, arcname=arcname)
+            tar.add(full, arcname=arcname, filter=_scrub)

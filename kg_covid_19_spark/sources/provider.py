@@ -1,0 +1,103 @@
+"""Catalog-or-path table provider — the Iceberg seam (SURVEY.md §1.1,
+§7.4 risk 6).
+
+The production posture is Iceberg tables in a configured catalog; the
+sandbox has no Iceberg jars, so path-Parquet is the hermetic fallback.
+The seam is deliberately the Spark **V2 catalog API**, not anything
+Iceberg-specific: with ``spark.sql.catalog.<name> =
+org.apache.iceberg.spark.SparkCatalog`` configured, ``catalog="<name>"``
+routes reads through ``spark.read.table`` and writes through
+``DataFrameWriterV2`` — and those identical calls work against ANY V2
+catalog. That is what lets the sandbox test EXERCISE the catalog branch
+for real (against the built-in ``spark_catalog`` with parquet tables)
+instead of asserting it: swapping in Iceberg is a config change, not a
+code change.
+
+Partition pruning is provider-independent — both the path-parquet
+``partitionBy`` layout and an Iceberg partition spec expose partition
+columns to Catalyst, so a ``lang = 'en'`` filter prunes files either
+way (pinned by test_provider_partition_pruning).
+
+Reference analog: kg-covid-19 reads/writes local files per transform
+(run.py transform paths); this provider is the 100-TB-scale seam those
+paths become on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: session conf key that names the catalog to route through; unset (or
+#: empty) means path-Parquet under the provider root.
+CATALOG_CONF = "spark.kg.catalog"
+
+
+class TableProvider:
+    """One read/write indirection over driver tables.
+
+    ``catalog=None`` reads the session conf ``spark.kg.catalog``; an
+    explicit name wins. With a catalog, table ``name`` resolves to
+    ``<catalog>.<namespace>.<name>``; without one, to
+    ``<root>/<name>.parquet``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        catalog: str | None = None,
+        namespace: str = "default",
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        if catalog is None:
+            try:
+                catalog = spark.conf.get(CATALOG_CONF, "") or None
+            except Exception:
+                catalog = None
+        self.catalog = catalog
+        self.namespace = namespace
+
+    # -- identity -------------------------------------------------------
+    def qualified(self, name: str) -> str:
+        """Catalog-qualified identifier (catalog mode only)."""
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def location(self, name: str) -> str:
+        """Path location (path mode only)."""
+        return os.path.join(self.root, f"{name}.parquet")
+
+    # -- read -----------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(self.qualified(name))
+        return self.spark.read.parquet(self.location(name))
+
+    # -- write ----------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: tuple[str, ...] = (),
+        fmt: str = "parquet",
+    ) -> None:
+        """Overwrite-create ``name`` from ``df``.
+
+        Catalog mode uses DataFrameWriterV2 (``writeTo``), the API an
+        Iceberg catalog implements; ``partition_by`` becomes the table's
+        partition spec. Path mode writes partitioned parquet — the same
+        pruning-visible layout."""
+        if self.catalog:
+            w = df.writeTo(self.qualified(name)).using(fmt)
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+        else:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(self.location(name))
+            )

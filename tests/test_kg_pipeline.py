@@ -84,3 +84,15 @@ def test_package_kgx_tar_roundtrip(spark, tmp_path):
     assert rn.count() == nodes.count()
     assert re_.count() == edges.count()
     assert sorted(rn.columns) == sorted(nodes.columns)
+
+    # byte-reproducible: re-packing the same tree (later wall-clock,
+    # same inputs) yields the identical archive — tar headers and the
+    # gzip stream carry no timestamps/uids
+    import hashlib
+    import time
+
+    time.sleep(1.1)  # cross a whole-second mtime boundary
+    tar2 = str(tmp_path / "merged-kg-2.tar.gz")
+    package_kgx_tar(out, tar2)
+    h = lambda p: hashlib.sha256(open(p, "rb").read()).hexdigest()  # noqa: E731
+    assert h(tar_path) == h(tar2)

@@ -111,6 +111,40 @@ def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIA_DEGREE_CAP = 50
+
+
+def kg_common_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor counts THROUGH LOW-DEGREE NEIGHBORS ONLY
+    (deg(via) ≤ VIA_DEGREE_CAP) — the honest 100× form of the wedge
+    join on a power-law graph (SCALE.md ceiling note): the candidate
+    set is inherently d² pairs per shared neighbor, so a degree-d hub
+    contributes d² wedge rows no ordering can remove. Capping the via
+    degree bounds every neighbor's contribution at CAP² while staying
+    EXACT for the long tail, which is where the link-prediction signal
+    lives (a neighbor shared by everyone discriminates nothing — the
+    same reasoning as Adamic-Adar's 1/log(deg) downweight taken to its
+    limit). Deterministic: the cap is a pure degree predicate."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    deg = und.groupBy(F.col("subject").alias("via")).agg(
+        F.countDistinct("object").alias("via_deg")
+    )
+    low = deg.filter(F.col("via_deg") <= VIA_DEGREE_CAP).select("via")
+    a = und.select(F.col("subject").alias("x"), F.col("object").alias("via"))
+    b = und.select(F.col("subject").alias("y"), F.col("object").alias("via"))
+    return (
+        a.join(low, "via")  # prune hubs BEFORE the wedge self-join
+        .join(b, "via")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.countDistinct("via").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+
+
 def kg_jaccard_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction scoring: Jaccard of neighbor sets per candidate
     pair, in exact integer ppm (|N(x)∩N(y)| · 10⁶ div |N(x)∪N(y)| —
@@ -563,6 +597,7 @@ KG_QUERIES = {
     "kg_one_hop": kg_one_hop,
     "kg_two_hop": kg_two_hop,
     "kg_common_neighbors": kg_common_neighbors,
+    "kg_common_neighbors_capped": kg_common_neighbors_capped,
     "kg_jaccard_link_scores": kg_jaccard_link_scores,
     "kg_degree_histogram": kg_degree_histogram,
     "kg_druggable_two_hop": kg_druggable_two_hop,
@@ -643,6 +678,25 @@ und AS (
 )
 SELECT a.subject AS x, b.subject AS y, count(DISTINCT a.object) AS n_common
 FROM und a JOIN und b ON a.object = b.object
+WHERE a.subject < b.subject
+GROUP BY a.subject, b.subject
+HAVING count(DISTINCT a.object) >= 2
+""",
+    "kg_common_neighbors_capped": f"""
+WITH {_CTE},
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+low AS (
+  SELECT subject AS via FROM und
+  GROUP BY subject HAVING count(DISTINCT object) <= {VIA_DEGREE_CAP}
+)
+SELECT a.subject AS x, b.subject AS y, count(DISTINCT a.object) AS n_common
+FROM und a
+JOIN low l ON a.object = l.via
+JOIN und b ON a.object = b.object
 WHERE a.subject < b.subject
 GROUP BY a.subject, b.subject
 HAVING count(DISTINCT a.object) >= 2

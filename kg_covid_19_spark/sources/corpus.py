@@ -23,10 +23,15 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a driver table, or an Iceberg table if ``name`` is iceberg:..."""
+    """Read a driver table through the provider seam (sources/provider):
+    an explicit ``iceberg:<catalog.table>`` name or a session-configured
+    catalog (``spark.kg.catalog``) routes through ``spark.read.table``;
+    otherwise path-Parquet under ``sf_dir``."""
     if name.startswith("iceberg:"):
         return spark.read.table(name.split(":", 1)[1])
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .provider import TableProvider
+
+    return TableProvider(spark, sf_dir).read(name)
 
 
 # sf_dir → scan split count, memoized: the .rdd conversion used to probe it

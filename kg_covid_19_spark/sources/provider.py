@@ -94,7 +94,17 @@ class TableProvider:
             w = df.writeTo(self.qualified(name)).using(fmt)
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
-            w.createOrReplace()
+            try:
+                w.createOrReplace()
+            except Exception:
+                # catalogs without atomic REPLACE TABLE AS SELECT (the
+                # built-in session catalog; some Hive catalogs) — fall
+                # back to drop + create. Iceberg supports RTAS and
+                # never takes this branch.
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self.qualified(name)}"
+                )
+                w.create()
         else:
             (
                 df.write.mode("overwrite")

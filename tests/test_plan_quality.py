@@ -222,3 +222,50 @@ def test_triangle_edges_are_degree_oriented(spark):
     # collapsed by Catalyst into the deg_b/deg_c wedge projections)
     assert "deg_b" in plan and "deg_c" in plan, plan
     assert "CASE WHEN" in plan, plan  # the low→high orientation swap
+
+
+def test_aqe_splits_planted_hub_skew(spark):
+    """Executed-plan evidence that AQE's skew-join split actually fires
+    on a hub key — "AQE handles skew" as a run artifact, like the
+    pushdown/broadcast/salt assertions, not an assertion of faith. A
+    planted key owning 2/3 of the left side must make the final
+    adaptive plan read `SortMergeJoin(skew=true)` with a skewed
+    AQEShuffleRead (thresholds lowered so toy bytes qualify)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).selectExpr(
+            "CASE WHEN id < 200000 THEN 'HUB' "
+            "ELSE concat('k', cast(id % 50 as string)) END AS key",
+            "id AS v",
+            "repeat('x', 40) AS pad",
+        )
+        right = spark.range(60).selectExpr(
+            "CASE WHEN id = 0 THEN 'HUB' "
+            "ELSE concat('k', cast(id as string)) END AS key",
+            "id AS w",
+        )
+        j = left.join(right, "key")
+        assert len(j.collect()) == 298_000
+        plan = _executed_plan(j)  # same QueryExecution that just ran
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # the AQEShuffleRead split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

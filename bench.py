@@ -77,6 +77,8 @@ PIPELINE_BENCH = {
     "kg_triangle_counts": KG_QUERIES["kg_triangle_counts"],
     "kg_hub_distances": KG_QUERIES["kg_hub_distances"],
     "kg_linked_mentions_scored": KG_QUERIES["kg_linked_mentions_scored"],
+    "kg_components": KG_QUERIES["kg_components"],
+    "kg_resource_allocation": KG_QUERIES["kg_resource_allocation"],
 }
 
 

@@ -199,6 +199,29 @@ def txt_len_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_len_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) twin of
+    txt_len_deciles — the swap the exact variant's scale note promises,
+    as code rather than prose. Same output shape (lang, decile, value);
+    the aggregation is a mergeable sketch, so the per-language state is
+    O(accuracy), never the stratum array, and the plan survives strata
+    that outgrow an executor.
+
+    No DuckDB oracle on purpose: approx_quantile sketches differ across
+    engines by design, so a value hash can't gate this — the driver
+    records the weaker rows-only check, and the accuracy contract is
+    pinned by test_len_deciles_approx_brackets_exact (each approx
+    decile must land within one exact-decile bracket)."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    qs = [i / 10 for i in range(11)]
+    sk = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", qs, 10_000).alias("vals")
+    )
+    return sk.select(
+        "lang", F.posexplode("vals").alias("decile", "value")
+    )
+
+
 def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation: confusion counts of declared vs
     predicted language — the quality-eval readout of txt_lang_id
@@ -475,6 +498,7 @@ TEXTSTATS_QUERIES = {
     "txt_repetition": txt_repetition,
     "txt_redact_pii": txt_redact_pii,
     "txt_len_deciles": txt_len_deciles,
+    "txt_len_deciles_approx": txt_len_deciles_approx,
     "txt_top_tokens": txt_top_tokens,
     "txt_lang_confusion": txt_lang_confusion,
     "txt_rarity": txt_rarity,

@@ -184,6 +184,113 @@ def kg_jaccard_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction index in exact integer ppm:
+    RA(x,y) = Σ_{via ∈ N(x)∩N(y)} 1/deg(via), the down-weights-hubs
+    score Adamic-Adar approximates — chosen over AA precisely because
+    1/deg is RATIONAL: `1000000 div deg` is the identical integer in
+    both engines, while AA's 1/log(deg) would hash-diverge on libm
+    rounding (the same reasoning as the jaccard_ppm and pagerank
+    fixed-point). One wedge join (same shape as common-neighbors, same
+    SCALE.md ceiling) + one broadcast-size degree join; the sum is a
+    partial-agg groupBy over pair keys."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    deg = und.groupBy(F.col("object").alias("via")).agg(
+        F.countDistinct("subject").alias("via_deg")
+    )
+    a = und.select(F.col("subject").alias("x"), F.col("object").alias("via"))
+    b = und.select(F.col("subject").alias("y"), F.col("object").alias("via"))
+    return (
+        a.join(b, "via")
+        .filter(F.col("x") < F.col("y"))
+        .join(deg, "via")
+        .groupBy("x", "y")
+        .agg(
+            F.expr("CAST(sum(1000000L div via_deg) AS LONG)").alias(
+                "ra_ppm"
+            ),
+            F.countDistinct("via").alias("n_common"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+
+
+CC_ROUNDS = 3
+
+
+def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round hash-min connected components over the
+    co-occurrence graph: after k rounds each node's label is the
+    minimum entity id within its k-hop ball — the distributed CC
+    primitive (one join + one min groupBy per round, the BFS persist
+    discipline). Fixed CC_ROUNDS keeps the result deterministic and
+    oracle-expressible (unrolled CTEs); production convergence loops
+    until a round changes no label, with the same per-round plan. Note
+    the north-star merge deliberately AVOIDS CC for canonicalization
+    (prefix-priority dedup instead) — this is the analytics-side
+    component labeling, not the merge path."""
+    key = (spark.sparkContext.applicationId, sf_dir, "components")
+    if key not in _ITER_CACHE:
+        _ITER_CACHE[key] = _components_build(spark, sf_dir)
+    return _ITER_CACHE[key]
+
+
+def _components_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    lbl = (
+        und.select(F.col("subject").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+    prev = lbl
+    for _ in range(CC_ROUNDS):
+        nbr = (
+            und.join(lbl, und.object == lbl.id)
+            .select(und.subject.alias("id"), "lbl")
+        )
+        lbl = (
+            lbl.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        lbl.count()  # materialize before releasing the previous round
+        prev.unpersist()
+        prev = lbl
+    return lbl.select("id", F.col("lbl").alias("component"))
+
+
+def _components_sql() -> str:
+    parts = [
+        """und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)""",
+        "l0 AS (SELECT DISTINCT subject AS id, subject AS lbl FROM und)",
+    ]
+    for k in range(CC_ROUNDS):
+        parts.append(
+            f"l{k + 1} AS (SELECT id, min(lbl) AS lbl FROM ("
+            f"SELECT id, lbl FROM l{k} "
+            f"UNION ALL "
+            f"SELECT und.subject AS id, l{k}.lbl AS lbl "
+            f"FROM und JOIN l{k} ON und.object = l{k}.id"
+            f") GROUP BY id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, lbl AS component FROM l{CC_ROUNDS}"
+    )
+
+
 def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-occurrence graph (A5/A8 extension):
     how many entities have each undirected degree. Two dictionary-
@@ -609,6 +716,8 @@ KG_QUERIES = {
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
     "kg_triangle_counts": kg_triangle_counts,
     "kg_hub_distances": kg_hub_distances,
+    "kg_resource_allocation": kg_resource_allocation,
+    "kg_components": kg_components,
 }
 
 
@@ -802,5 +911,30 @@ SELECT id, count(*) AS n_triangles FROM members GROUP BY id
     "kg_hub_distances": f"""
 WITH {_CTE},
 {_bfs_sql()}
+""",
+    "kg_resource_allocation": f"""
+WITH {_CTE},
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+deg AS (
+  SELECT object AS via, count(DISTINCT subject) AS via_deg
+  FROM und GROUP BY object
+)
+SELECT a.subject AS x, b.subject AS y,
+       CAST(sum(1000000 // d.via_deg) AS BIGINT) AS ra_ppm,
+       count(DISTINCT a.object) AS n_common
+FROM und a
+JOIN und b ON a.object = b.object
+JOIN deg d ON a.object = d.via
+WHERE a.subject < b.subject
+GROUP BY a.subject, b.subject
+HAVING count(DISTINCT a.object) >= 2
+""",
+    "kg_components": f"""
+WITH {_CTE},
+{_components_sql()}
 """,
 }

@@ -89,3 +89,31 @@ def test_canonicalize_url_rules(spark):
         r.c for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_len_deciles_approx_brackets_exact(spark):
+    """The percentile_approx twin must agree with the exact discrete
+    deciles to within one decile bracket per (lang, decile) — the
+    accuracy contract that replaces the value-hash oracle the sketch
+    can't have (approx_quantile sketches differ across engines by
+    design)."""
+    from conftest import SF_DIR
+
+    from kg_covid_19_spark.functions.textstats import (
+        txt_len_deciles,
+        txt_len_deciles_approx,
+    )
+
+    exact = {
+        (r.lang, r.decile): r.value
+        for r in txt_len_deciles(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.lang, r.decile): r.value
+        for r in txt_len_deciles_approx(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for (lang, k), v in approx.items():
+        lo = exact[(lang, max(k - 1, 0))]
+        hi = exact[(lang, min(k + 1, 10))]
+        assert lo <= v <= hi, (lang, k, v, lo, hi)

@@ -340,3 +340,75 @@ def test_obo_purl_contraction_roundtrip(spark, locals_):
     for r in out.collect():
         assert r["curie"] == "MONDO:" + r["iri"].rsplit("_", 1)[1]
         assert r["back"] == r["iri"], r
+
+
+def _py_del_keys(s: str, d: int = 2) -> set[str]:
+    """Python mirror of plans.queries._deletion_keys (≤d deletions)."""
+    keys = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1:])
+        keys |= nxt
+        frontier = nxt
+    return keys
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    a=st.text(alphabet="abc", min_size=1, max_size=7),
+    edits=st.lists(
+        st.tuples(st.sampled_from("ids"), st.integers(0, 7),
+                  st.sampled_from("abc")),
+        min_size=0, max_size=2,
+    ),
+)
+@SET
+def test_symspell_blocking_is_lossless_for_lev2(a, edits):
+    """The entity-linking blocking contract: any pair within edit
+    distance ≤ 2 must share at least one ≤2-deletion key — otherwise
+    the blocked join would silently drop a true candidate and diverge
+    from the full-semantics oracle."""
+    b = a
+    for op, pos, ch in edits:
+        p = min(pos, len(b))
+        if op == "i":
+            b = b[:p] + ch + b[p:]
+        elif op == "d" and b:
+            p = min(pos, len(b) - 1)
+            b = b[:p] + b[p + 1:]
+        elif op == "s" and b:
+            p = min(pos, len(b) - 1)
+            b = b[:p] + ch + b[p + 1:]
+    if not b:
+        return
+    if _lev(a, b) <= 2:
+        assert _py_del_keys(a) & _py_del_keys(b), (a, b)
+
+
+def test_deletion_keys_expr_matches_python(spark):
+    """The SQL higher-order-function key generator must emit exactly
+    the python mirror's key set (so the lossless-blocking property
+    proven above transfers to the executed plan)."""
+    from kg_covid_19_spark.plans.queries import _deletion_keys
+
+    words = ["a", "ab", "abc", "abcd", "covid", "remdesivir", "xyzzy"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: set(r["ks"])
+        for r in df.select("w", _deletion_keys("w").alias("ks")).collect()
+    }
+    for w in words:
+        assert got[w] == _py_del_keys(w), w

@@ -148,6 +148,69 @@ spark.stop()
 """
 
 
+GRAPH_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from kg_covid_19_spark.session import get_spark
+
+cores = {cores}
+rep = {rep}        # graph scale factor: |V| = 25_000 * rep
+parts = {parts}    # fixed across cluster sizes (same physical plan)
+spark = get_spark(app_name=f"scaling-graph-{{cores}}",
+                  master=f"local[{{cores}}]", shuffle_partitions=parts)
+spark.range(1).count()
+
+# deterministic synthetic graph, power-law-ish via double hashing:
+# out-degree uniform(8), dst hashed — same edge set at every
+# parallelism level. The workload is the repo's iterative discipline
+# (plans/queries.py kg_pagerank): integer-ppm ranks, per-round persist
+# + materialize + unpersist of the superseded round.
+V = 25_000 * rep
+E = V * 8
+edges = (spark.range(E).repartition(parts)
+         .select((F.col("id") % V).alias("src"),
+                 (F.abs(F.xxhash64(F.col("id"))) % V).alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+und = edges.union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+deg = und.groupBy(F.col("src").alias("id")).agg(
+    F.count("*").alias("deg")).persist()
+deg.count()  # warm-up + materialize loop invariant
+
+def busy():
+    f = open("/proc/stat").readline().split()
+    return sum(int(x) for x in f[1:4]) / 100.0
+
+ITERS = 3
+b0 = busy(); t0 = time.time()
+r = deg.select("id", F.lit(1000000).cast("long").alias("r"))
+prev = None
+for _ in range(ITERS):
+    contrib = r.join(deg, "id").select("id", F.expr("r div deg").alias("c"))
+    msgs = (und.join(contrib, F.col("src") == F.col("id"))
+            .groupBy(F.col("dst").alias("mid"))
+            .agg(F.sum("c").alias("s")))
+    r = (deg.select("id")
+         .join(msgs, F.col("id") == F.col("mid"), "left")
+         .select("id", F.expr(
+             "CAST(150000 + (850000 * coalesce(s, 0L)) div 1000000 "
+             "AS LONG)").alias("r"))
+         .persist())
+    r.count()
+    if prev is not None:
+        prev.unpersist()
+    prev = r
+sec = time.time() - t0
+print(json.dumps({{"cores": cores, "sec": round(sec, 3),
+                   "busy_core_sec": round(busy() - b0, 1),
+                   "n_docs": V,
+                   "triples": V * ITERS,
+                   "triples_per_sec": round(V * ITERS / sec, 1)}}))
+spark.stop()
+"""
+
+
 def run(cores: int, rep: int, parts: int, child: str = None) -> dict:
     code = (child or CHILD).format(repo=REPO, cores=cores, rep=rep, parts=parts)
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
@@ -174,14 +237,25 @@ def main() -> None:
         dd[cores] = max(runs, key=lambda r: r["triples_per_sec"])
     dd_eff = (dd[8]["triples_per_sec"] / dd[2]["triples_per_sec"]) / 4
 
+    # third job: the iterative graph suite (pagerank rounds with the
+    # per-round persist discipline) — join+agg per round, lineage cut
+    # each iteration; the profile the KG/dedup jobs don't cover
+    gr = {}
+    for cores in (2, 8):
+        runs = [run(cores, 40, parts, GRAPH_CHILD) for _ in range(trials)]
+        gr[cores] = max(runs, key=lambda r: r["triples_per_sec"])
+    gr_eff = (gr[8]["triples_per_sec"] / gr[2]["triples_per_sec"]) / 4
+
     summary = {
         "pairs": {
             "2->8": round(eff_2_8, 3),
             "8->32": round(eff_8_32, 3),
             "dedup_2->8": round(dd_eff, 3),
+            "graph_2->8": round(gr_eff, 3),
         },
         "runs": results,
         "dedup_runs": dd,
+        "graph_runs": gr,
     }
     print(json.dumps(summary))
 
@@ -249,6 +323,26 @@ the signature groupBy collapses map-side to one row per doc and the
 band join exchanges only (band, key, doc_id)); executors on a real 4N
 cluster each bring their own memory channels, which is precisely what
 a one-box scale model cannot.
+
+## Third job: iterative graph suite (pagerank rounds)
+
+{gr[2]['triples'] // 3} vertices × 8 avg degree, 3 integer-ppm pagerank
+rounds with the repo's per-round persist + materialize + unpersist
+discipline (plans/queries.py) — per-round join + groupBy, lineage cut
+every iteration:
+
+| parallelism | wall (s) | busy core-s | rank-updates | updates/sec |
+|---|---|---|---|---|
+| local[2] | {gr[2]['sec']} | {gr[2]['busy_core_sec']} | {gr[2]['triples']} | {gr[2]['triples_per_sec']} |
+| local[8] | {gr[8]['sec']} | {gr[8]['busy_core_sec']} | {gr[8]['triples']} | {gr[8]['triples_per_sec']} |
+
+N=2 → 4N=8 efficiency: **{gr_eff:.3f}** (busy core-seconds
+{gr[8]['busy_core_sec'] / max(gr[2]['busy_core_sec'], 0.1):.2f}× going
+2→8). Each round is one copartitioned join + one partial-agg groupBy
+over a fixed partition count; the serial residue is the per-round
+materialize barrier (`.count()`), whose cost is the price of cutting
+the 2^k lineage — on a cluster this is the same barrier a checkpoint
+would impose, amortized over far larger rounds.
 
 Reproduce: `python tools/scaling.py {rep}`.
 """)

@@ -381,7 +381,53 @@ def rel_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of each customer's order history by (date, key)
+    — the equal-width bucketing window W1's rank doesn't cover. NTILE
+    is integer-deterministic given a TOTAL order (ties broken by
+    o_orderkey), so both engines bucket identically; the partition key
+    is the bounded customer id, no skewed-reducer hazard."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form cube/rollup
+    specialize: order counts by (priority, status), by priority alone,
+    and the grand total, with GROUPING() flags disambiguating real
+    NULLs from subtotal rows (the A8 graph-stats hierarchy note). One
+    expand + one partial-agg groupBy — same exchange budget as a plain
+    groupBy times the (here 3, bounded) set count."""
+    o = _t(spark, sf_dir, "orders")
+    o.select("o_orderpriority", "o_orderstatus").createOrReplaceTempView(
+        "_rel_gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               grouping(o_orderpriority) AS g_pri,
+               grouping(o_orderstatus) AS g_st
+        FROM _rel_gs_orders
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, o_orderstatus), (o_orderpriority), ()
+        )
+        """
+    )
+
+
 REL_QUERIES = {
+    "rel_ntile": rel_ntile,
+    "rel_grouping_sets": rel_grouping_sets,
     "rel_rollup_counts": rel_rollup_counts,
     "rel_running_total": rel_running_total,
     "rel_filter_in": rel_filter_in,
@@ -408,6 +454,21 @@ REL_QUERIES = {
 }
 
 REL_ORACLES = {
+    "rel_ntile": """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC) AS quartile
+FROM orders WHERE o_custkey <= 100
+""",
+    "rel_grouping_sets": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       grouping(o_orderpriority) AS g_pri,
+       grouping(o_orderstatus) AS g_st
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderpriority, o_orderstatus), (o_orderpriority), ()
+)
+""",
     "rel_filter_in": """
 SELECT l_returnflag, count(*) AS n FROM lineitem
 WHERE l_returnflag IN ('A', 'N') GROUP BY l_returnflag

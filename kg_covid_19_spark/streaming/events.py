@@ -246,6 +246,23 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type
+    (approx_count_distinct, rsd 2%) — the mergeable-sketch counting
+    member next to the percentile sketch (txt_len_deciles_approx): at
+    100 TB an exact countDistinct shuffles every (type, user) pair,
+    while the HLL state is a few KB per group merged map-side.
+
+    Rows-only driver check by design: sketch estimates differ across
+    engines; the accuracy contract is the pytest tolerance test
+    (estimate within 3·rsd of the exact count), mirroring the deciles
+    bracket test."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    )
+
+
 FUNNEL_STAGES = ["none", "view", "view_click", "view_click_purchase"]
 
 
@@ -450,6 +467,7 @@ EVENTS_QUERIES = {
     "evt_sliding_counts": evt_sliding_counts,
     "evt_retention": evt_retention,
     "evt_props_stats": evt_props_stats,
+    "evt_approx_user_counts": evt_approx_user_counts,
 }
 
 

@@ -117,3 +117,30 @@ def test_len_deciles_approx_brackets_exact(spark):
         lo = exact[(lang, max(k - 1, 0))]
         hi = exact[(lang, min(k + 1, 10))]
         assert lo <= v <= hi, (lang, k, v, lo, hi)
+
+
+def test_approx_user_counts_within_tolerance(spark):
+    """HLL estimate per event_type must land within 3·rsd (6%) of the
+    exact distinct count — the accuracy contract standing in for the
+    value-hash oracle a sketch can't have."""
+    from conftest import SF_DIR
+
+    from kg_covid_19_spark.streaming.events import (
+        _events,
+        evt_approx_user_counts,
+    )
+
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in evt_approx_user_counts(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in _events(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.06 * n), (et, approx[et], n)

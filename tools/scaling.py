@@ -23,6 +23,13 @@ executor brings its own memory channels, so the (2→8) pair is the faithful
 cluster-size analogy.
 
 Usage: python tools/scaling.py [rep] → prints JSON, writes BENCH/BASELINE.md.
+
+RUN ON AN OTHERWISE-IDLE MACHINE. taskset pins the child to its N cores
+but cannot keep OTHER processes off them, and busy core-seconds come
+from the global /proc/stat — any concurrent job (a pytest run, an
+oracle sweep) both slows the pinned trials and inflates their CPU
+accounting. The telltale of a contaminated run is non-flat busy
+core-seconds between the 2- and 8-core rows of the KG profile.
 """
 
 from __future__ import annotations

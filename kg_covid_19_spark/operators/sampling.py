@@ -107,7 +107,69 @@ def _hash_ppm_sql(tag: str) -> str:
     return hash_mod_sql(tag, "doc_id", str(PPM))
 
 
+
+
+SEQ_LEN = 2048
+PACK_SHARD = 1000  # docs per packing shard (see scale note)
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign each document its (shard, seq_id,
+    seq_offset) in fixed-SEQ_LEN context windows built by streaming
+    concatenation within a packing shard: the pretraining step that
+    turns a deduped corpus into training rows. Deterministic: the
+    stream order is (lang, shard, doc_id) and the assignment is pure
+    integer window arithmetic (cumulative token count before the doc,
+    floor-divided by the window length).
+
+    Scale note (why the shard column exists): packing is inherently
+    sequential WITHIN a stream, so one window per language would funnel
+    a whole stratum through one reducer at 100 TB. Sharding the stream
+    (doc_id div PACK_SHARD) caps every window partition at PACK_SHARD
+    rows at the cost of at most one under-filled trailing window per
+    shard — the standard wasted-pad/parallelism trade, stated rather
+    than hidden. Token counts are whitespace-split counts (identical
+    split semantics in both engines, consecutive-space empties
+    included)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") / PACK_SHARD).cast("long").alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return pre.withColumn("cb", cum_before).select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.expr(f"CAST(cb div {SEQ_LEN} AS LONG)").alias("seq_id"),
+        F.expr(f"CAST(cb % {SEQ_LEN} AS LONG)").alias("seq_offset"),
+    )
+
+
 SAMPLING_ORACLES = {
+    "doc_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, lang, doc_id // {PACK_SHARD} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, shard, n_tokens,
+  CAST(((sum(n_tokens) OVER w) - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_id,
+  CAST(((sum(n_tokens) OVER w) - n_tokens) % {SEQ_LEN} AS BIGINT) AS seq_offset
+FROM t
+WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING)
+""",
     "doc_stratified_sample": f"""
 SELECT doc_id, lang FROM documents
 WHERE {_hash_ppm_sql('strat')} < {_rate_sql(SAMPLE_RATES_PPM)}
@@ -129,4 +191,5 @@ FROM w WHERE n_copies > 0
 SAMPLING_QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_epoch_mix": doc_epoch_mix,
+    "doc_pack_sequences": doc_pack_sequences,
 }

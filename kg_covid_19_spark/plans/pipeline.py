@@ -37,7 +37,7 @@ from ..dictionaries import (
 )
 from ..functions.text import extracted_text
 from ..operators.mentions import make_curie_udf
-from ..sources.corpus import web_pages
+from ..sources.corpus import read_table, web_pages
 
 
 def pages_with_mentions(spark: SparkSession, sf_dir: str,
@@ -79,6 +79,37 @@ def doc_mentions(spark: SparkSession, sf_dir: str,
         pages_with_mentions(spark, sf_dir, langs)
         .select("doc_id", F.explode_outer("curies").alias("curie"))
         .filter(F.col("curie").isNotNull())
+    )
+
+
+def web_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The html→text kernel exercised END-TO-END against the oracle
+    (north rule: "byte-identical text extraction per url"): wrap each
+    document's text in deterministic html bytes (head + script noise +
+    body tags), NULL the text column, run the full Arrow extraction
+    kernel (functions/text.py: script/style strip → tag strip → ws
+    collapse → NFC), and emit the recovered text. For the driver corpus
+    (printable ASCII, no angle brackets) extraction inverts the
+    wrapping exactly, so the DuckDB oracle is the raw text itself —
+    any kernel drift (regex change, normalization change, encoding
+    slip) breaks the value hash. The hash-equality determinism test
+    (test local[8] vs local[32]) pins cross-parallelism byte identity;
+    this pins cross-ENGINE byte identity."""
+    from ..functions.text import extract_html_text
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><script>var x = 1 < 2;</script>"
+                  "<style>p{color:red}</style></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+        "utf-8",
+    )
+    return docs.select(
+        "doc_id",
+        F.trim(extract_html_text(html)).alias("text"),
     )
 
 

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from ..dictionaries import kg_cte_sql, normalized_gazetteer
 from ..sources.corpus import read_table
-from .pipeline import get_kg, get_mention_arrays, get_mentions, pair_expand
+from .pipeline import (
+    get_kg,
+    get_mention_arrays,
+    get_mentions,
+    pair_expand,
+    web_extract_parity as _web_extract_parity,
+)
 
 # The hub entity for the hop queries — the reference's SARS-CoV-2 anchor
 # (queries/query-03-sars-cov-2-interactors.rq) becomes our most-canonical
@@ -705,6 +711,7 @@ KG_QUERIES = {
     "kg_two_hop": kg_two_hop,
     "kg_common_neighbors": kg_common_neighbors,
     "kg_common_neighbors_capped": kg_common_neighbors_capped,
+    "web_extract_parity": _web_extract_parity,
     "kg_jaccard_link_scores": kg_jaccard_link_scores,
     "kg_degree_histogram": kg_degree_histogram,
     "kg_druggable_two_hop": kg_druggable_two_hop,
@@ -790,6 +797,12 @@ FROM und a JOIN und b ON a.object = b.object
 WHERE a.subject < b.subject
 GROUP BY a.subject, b.subject
 HAVING count(DISTINCT a.object) >= 2
+""",
+    # the kernel inverts the deterministic html wrapping exactly on the
+    # printable-ASCII corpus, so the oracle is the raw text — any
+    # extraction drift breaks the hash
+    "web_extract_parity": """
+SELECT doc_id, text FROM documents
 """,
     "kg_common_neighbors_capped": f"""
 WITH {_CTE},

@@ -297,6 +297,84 @@ def _components_sql() -> str:
     )
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (k=KCORE_K): repeatedly drop nodes
+    of degree < k and the edges they carry — the densest-subgraph
+    primitive next to components and triangles (peeling removes the
+    noise fringe a co-occurrence graph accumulates). KCORE_ROUNDS
+    fixed rounds keep it deterministic and oracle-expressible
+    (unrolled CTEs); production iterates to fixpoint with the same
+    per-round plan. Each round is one degree groupBy + two semi-joins
+    (edges to surviving endpoints) with the BFS/pagerank persist
+    discipline; output is the surviving nodes with their final
+    residual degree."""
+    key = (spark.sparkContext.applicationId, sf_dir, "kcore")
+    if key not in _ITER_CACHE:
+        _ITER_CACHE[key] = _kcore_build(spark, sf_dir)
+    return _ITER_CACHE[key]
+
+
+def _kcore_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = get_kg(spark, sf_dir)
+    e = (
+        _undirected(
+            edges.filter(F.col("predicate") == "biolink:correlated_with")
+        )
+        .persist()
+    )
+    prev = e
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            e.groupBy(F.col("subject").alias("id"))
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("id")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("id", "subject"), "subject",
+                   "left_semi")
+            .join(keep.withColumnRenamed("id", "object"), "object",
+                  "left_semi")
+            .select("subject", "object")
+            .persist()
+        )
+        e.count()  # materialize before releasing the previous round
+        prev.unpersist()
+        prev = e
+    return e.groupBy(F.col("subject").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+
+
+def _kcore_sql() -> str:
+    parts = [
+        """c0 AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)"""
+    ]
+    for r in range(KCORE_ROUNDS):
+        parts.append(
+            f"k{r} AS (SELECT subject AS id FROM c{r} "
+            f"GROUP BY subject HAVING count(*) >= {KCORE_K})"
+        )
+        parts.append(
+            f"c{r + 1} AS (SELECT subject, object FROM c{r} "
+            f"WHERE subject IN (SELECT id FROM k{r}) "
+            f"AND object IN (SELECT id FROM k{r}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT subject AS id, count(*) AS deg FROM c{KCORE_ROUNDS} "
+        f"GROUP BY subject"
+    )
+
+
 def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-occurrence graph (A5/A8 extension):
     how many entities have each undirected degree. Two dictionary-
@@ -725,6 +803,7 @@ KG_QUERIES = {
     "kg_hub_distances": kg_hub_distances,
     "kg_resource_allocation": kg_resource_allocation,
     "kg_components": kg_components,
+    "kg_kcore": kg_kcore,
 }
 
 
@@ -949,5 +1028,9 @@ HAVING count(DISTINCT a.object) >= 2
     "kg_components": f"""
 WITH {_CTE},
 {_components_sql()}
+""",
+    "kg_kcore": f"""
+WITH {_CTE},
+{_kcore_sql()}
 """,
 }

@@ -648,16 +648,26 @@ def kg_linked_mentions_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-semantics DuckDB oracle is unchanged). The argmin is a
     partial-agg min over a struct key and is insensitive to the
     duplicate candidates multiple shared block keys produce."""
+    gaz = spark.createDataFrame(
+        normalized_gazetteer(),
+        "term string, curie string, name string, category string",
+    ).select("term", "curie")
+    return linked_mentions_scored(spark, sf_dir, gaz)
+
+
+def linked_mentions_scored(
+    spark: SparkSession, sf_dir: str, gaz: DataFrame
+) -> DataFrame:
+    """The dictionary-parametrized core of kg_linked_mentions_scored —
+    ``gaz`` is any (term, curie) frame; the stress test drives it with
+    a 5k-surface synthetic dictionary to exercise the blocked join at
+    realistic dictionary scale."""
     docs = read_table(spark, sf_dir, "documents")
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .distinct()
     )
-    gaz = spark.createDataFrame(
-        normalized_gazetteer(),
-        "term string, curie string, name string, category string",
-    ).select("term", "curie")
     tok_keys = toks.select(
         "token", F.explode(_deletion_keys("token")).alias("k")
     )

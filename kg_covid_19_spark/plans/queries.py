@@ -457,6 +457,43 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELTA_MOD = 10  # doc_id % DELTA_MOD == 0 plays the freshly-arrived slice
+
+
+def kg_cooc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance form of kg_cooccurrence_counts: the
+    corpus is split into a BASE slice and a DELTA slice (a day's new
+    crawl), pair counts are aggregated per slice, and the maintained
+    view is the key-wise SUM merge — the additive-aggregate refresh a
+    10^12-doc pipeline runs daily instead of recomputing the world.
+    The DuckDB oracle is the plain FULL-corpus count: count(*) is a
+    commutative monoid over disjoint slices, so incremental == full is
+    the correctness contract, checked by hash every round. The merge
+    groupBy is the same bounded ≤|dict|² key space; each slice's pair
+    expansion is the row-local (no doc_id self-join) plan of the full
+    query."""
+    pm = get_mention_arrays(spark, sf_dir)
+
+    def slice_counts(pred) -> DataFrame:
+        return (
+            pm.filter(pred)
+            .select(F.explode_outer(pair_expand(F.col("curies"))).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy(
+                F.col("p.s").alias("subject"), F.col("p.o").alias("object")
+            )
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    base = slice_counts(F.col("doc_id") % DELTA_MOD != 0)
+    delta = slice_counts(F.col("doc_id") % DELTA_MOD == 0)
+    return (
+        base.unionByName(delta)
+        .groupBy("subject", "object")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+
+
 BFS_ROUNDS = 3
 
 # final frames of the iterative queries, persisted once per
@@ -807,6 +844,7 @@ KG_QUERIES = {
     "kg_drug_mentions": kg_drug_mentions,
     "kg_mention_counts": kg_mention_counts,
     "kg_cooccurrence_counts": kg_cooccurrence_counts,
+    "kg_cooc_incremental": kg_cooc_incremental,
     "kg_pagerank": kg_pagerank,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
     "kg_triangle_counts": kg_triangle_counts,
@@ -965,6 +1003,15 @@ WITH {_CTE}
 SELECT curie, count(DISTINCT doc_id) AS n_docs FROM mentions GROUP BY curie
 """,
     "kg_cooccurrence_counts": f"""
+WITH {_CTE}
+SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
+FROM mentions a JOIN mentions b
+  ON a.doc_id = b.doc_id AND a.curie < b.curie
+GROUP BY a.curie, b.curie
+""",
+    # incremental == full: count over disjoint slices is additive, so
+    # the maintained view must hash-equal the full-corpus aggregation
+    "kg_cooc_incremental": f"""
 WITH {_CTE}
 SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
 FROM mentions a JOIN mentions b

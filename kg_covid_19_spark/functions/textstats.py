@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.corpus import read_table
+from ..sources.corpus import read_table, table_source_key
 
 # marker stopwords per language (deterministic toy lists — the n-gram
 # heuristic shape; real lists would be broadcast the same way)
@@ -244,7 +244,7 @@ def _rarity_tokens(
     frequency build side, and the join probe side); a per-invocation
     persist would accumulate pinned storage across bench/check loops
     instead of reusing one entry."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = table_source_key(spark, sf_dir)
     if key not in _TOKS_CACHE:
         docs = read_table(spark, sf_dir, "documents").select(
             "doc_id", "text"

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.corpus import read_table
+from ..sources.corpus import read_table, table_source_key
 
 N_HASHES = 8
 BAND_SIZE = 2  # → 4 bands of 2 hashes
@@ -149,7 +149,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     neardup_pairs run re-scans and re-shingles the corpus three times.
     On a cluster this is the natural intermediate table between the
     corpus and the dedup family."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = table_source_key(spark, sf_dir)
     if key not in _SHINGLE_CACHE:
         shingle_udf = make_shingle_udf()
         sh = (

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.corpus import table_source_key
 from ..functions.hashing import hash_mod_sql as _hash_mod_sql
 from ..plans.merged import get_merged
 
@@ -190,15 +191,26 @@ _UNIV_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
 
 
 def _ranked_universe(
-    spark: SparkSession, sf_dir: str, universe: DataFrame
+    spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, int]:
     """Keyed session cache for the ranked node universe (the get_kg /
     doc_shingles pattern): one persisted (id, idx) frame per
-    (application, input) instead of a fresh persist per invocation —
-    repeated fullscale-negative runs in a bench loop reuse it rather
-    than accumulating pinned storage."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    (application, source, input) instead of a fresh persist per
+    invocation — repeated fullscale-negative runs in a bench loop
+    reuse it rather than accumulating pinned storage. The universe is
+    CONSTRUCTED HERE (nodes ∪ edge endpoints, the reference's
+    make_holdouts universe) rather than passed in: a parameter would
+    be silently ignored on cache hit, handing a caller with a
+    different universe the wrong ranking."""
+    key = table_source_key(spark, sf_dir)
     if key not in _UNIV_CACHE:
+        nodes, edges = get_merged(spark, sf_dir)
+        universe = (
+            nodes.select("id")
+            .unionAll(edges.select(F.col("subject").alias("id")))
+            .unionAll(edges.select(F.col("object").alias("id")))
+            .distinct()
+        )
         univ = _global_rank(universe, materialize=True)
         _UNIV_CACHE[key] = (univ, univ.count())
     return _UNIV_CACHE[key]
@@ -228,14 +240,8 @@ def holdout_negatives_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_global_rank); the two index→id joins and the positives anti-join
     hash-partition on bounded keys; the final head-|E| is a TakeOrdered,
     not a global sort."""
-    nodes, edges = get_merged(spark, sf_dir)
-    universe = (
-        nodes.select("id")
-        .unionAll(edges.select(F.col("subject").alias("id")))
-        .unionAll(edges.select(F.col("object").alias("id")))
-        .distinct()
-    )
-    univ, n_univ = _ranked_universe(spark, sf_dir, universe)
+    _, edges = get_merged(spark, sf_dir)
+    univ, n_univ = _ranked_universe(spark, sf_dir)
     n_edges = edges.count()
 
     draws = spark.range(0, 2 * n_edges).select(

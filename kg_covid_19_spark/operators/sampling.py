@@ -137,7 +137,10 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = docs.select(
         "doc_id",
         "lang",
-        (F.col("doc_id") / PACK_SHARD).cast("long").alias("shard"),
+        # integer `div`, matching the oracle's `//` exactly — a float
+        # `/` + cast truncates toward zero and loses exactness past
+        # 2^53 (the repo's integer-arithmetic parity discipline)
+        F.expr(f"doc_id div {PACK_SHARD}").alias("shard"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
     w = (

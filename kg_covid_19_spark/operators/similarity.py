@@ -25,7 +25,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.corpus import read_table
+from ..sources.corpus import read_table, table_source_key
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -228,7 +228,7 @@ def _neardup_frames(
     per (application, input) — the get_kg/doc_shingles keyed-cache
     pattern, replacing the per-invocation persist that accumulated
     pinned storage across bench/check loops."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = table_source_key(spark, sf_dir)
     if key not in _NEARDUP_CACHE:
         vecs = (
             _vectors(spark, sf_dir)

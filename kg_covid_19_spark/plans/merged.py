@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..dictionaries import merged_cte_sql
 from ..operators.merge import graph_stats, merge_edges, merge_nodes, salted_node_fusion
+from ..sources.corpus import table_source_key
 from ..sources.ontology import ontology_edges, ontology_nodes
 from .pipeline import get_kg
 
@@ -19,7 +20,7 @@ _MERGED_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def get_merged(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = table_source_key(spark, sf_dir)
     if key not in _MERGED_CACHE:
         doc_nodes, doc_edges = get_kg(spark, sf_dir)
         nodes = merge_nodes([doc_nodes, ontology_nodes(spark)]).persist()

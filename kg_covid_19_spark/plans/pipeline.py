@@ -37,7 +37,7 @@ from ..dictionaries import (
 )
 from ..functions.text import extracted_text
 from ..operators.mentions import make_curie_udf
-from ..sources.corpus import read_table, web_pages
+from ..sources.corpus import read_table, table_source_key, web_pages
 
 
 def pages_with_mentions(spark: SparkSession, sf_dir: str,
@@ -244,7 +244,7 @@ def pair_expand(curies) -> "F.Column":  # type: ignore[name-defined]
 
 def get_kg(spark: SparkSession, sf_dir: str,
            langs: tuple[str, ...] | None = None) -> tuple[DataFrame, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir, langs)
+    key = (*table_source_key(spark, sf_dir), langs)
     if key not in _KG_CACHE:
         nodes, edges = build_kg(spark, sf_dir, langs)
         nodes = nodes.persist()
@@ -259,7 +259,7 @@ def get_kg(spark: SparkSession, sf_dir: str,
 
 def get_mentions(spark: SparkSession, sf_dir: str,
                  langs: tuple[str, ...] | None = None) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, langs)
+    key = (*table_source_key(spark, sf_dir), langs)
     if key not in _MENTION_CACHE:
         m = doc_mentions(spark, sf_dir, langs).persist()
         m.count()
@@ -271,7 +271,7 @@ def get_mention_arrays(spark: SparkSession, sf_dir: str,
                        langs: tuple[str, ...] | None = None) -> DataFrame:
     """Materialized (doc_id, curies:array<string>) projection — the compact
     per-document mention set that row-local pair expansion reads from."""
-    key = (spark.sparkContext.applicationId, sf_dir, langs)
+    key = (*table_source_key(spark, sf_dir), langs)
     if key not in _ARRAY_CACHE:
         pm = (
             pages_with_mentions(spark, sf_dir, langs)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dictionaries import kg_cte_sql, normalized_gazetteer
-from ..sources.corpus import read_table
+from ..sources.corpus import read_table, table_source_key
 from .pipeline import (
     get_kg,
     get_mention_arrays,
@@ -238,7 +238,7 @@ def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the north-star merge deliberately AVOIDS CC for canonicalization
     (prefix-priority dedup instead) — this is the analytics-side
     component labeling, not the merge path."""
-    key = (spark.sparkContext.applicationId, sf_dir, "components")
+    key = (*table_source_key(spark, sf_dir), "components")
     if key not in _ITER_CACHE:
         _ITER_CACHE[key] = _components_build(spark, sf_dir)
     return _ITER_CACHE[key]
@@ -312,7 +312,7 @@ def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (edges to surviving endpoints) with the BFS/pagerank persist
     discipline; output is the surviving nodes with their final
     residual degree."""
-    key = (spark.sparkContext.applicationId, sf_dir, "kcore")
+    key = (*table_source_key(spark, sf_dir), "kcore")
     if key not in _ITER_CACHE:
         _ITER_CACHE[key] = _kcore_build(spark, sf_dir)
     return _ITER_CACHE[key]
@@ -438,6 +438,19 @@ def kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("curie").agg(F.countDistinct("doc_id").alias("n_docs"))
 
 
+def _pair_counts(pm: DataFrame) -> DataFrame:
+    """Row-local pair expansion + bounded groupBy — the ONE definition
+    of pair-support counting, shared by the full and incremental
+    queries so their 'incremental == full' contract cannot drift."""
+    return (
+        pm.select(F.explode(pair_expand(F.col("curies"))).alias("p"))
+        .groupBy(
+            F.col("p.s").alias("subject"), F.col("p.o").alias("object")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair co-occurrence support counts (A2 with counts kept).
 
@@ -446,15 +459,7 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, which at 100 TB would shuffle the whole corpus on a
     corpus-sized key. The only shuffle is the final groupBy over
     ≤|dictionary|² pair keys, collapsed map-side by partial aggregation."""
-    pm = get_mention_arrays(spark, sf_dir)
-    return (
-        pm.select(F.explode_outer(pair_expand(F.col("curies"))).alias("p"))
-        .filter(F.col("p").isNotNull())
-        .groupBy(
-            F.col("p.s").alias("subject"), F.col("p.o").alias("object")
-        )
-        .agg(F.count("*").alias("n_docs"))
-    )
+    return _pair_counts(get_mention_arrays(spark, sf_dir))
 
 
 DELTA_MOD = 10  # doc_id % DELTA_MOD == 0 plays the freshly-arrived slice
@@ -473,20 +478,8 @@ def kg_cooc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is the row-local (no doc_id self-join) plan of the full
     query."""
     pm = get_mention_arrays(spark, sf_dir)
-
-    def slice_counts(pred) -> DataFrame:
-        return (
-            pm.filter(pred)
-            .select(F.explode_outer(pair_expand(F.col("curies"))).alias("p"))
-            .filter(F.col("p").isNotNull())
-            .groupBy(
-                F.col("p.s").alias("subject"), F.col("p.o").alias("object")
-            )
-            .agg(F.count("*").alias("n_docs"))
-        )
-
-    base = slice_counts(F.col("doc_id") % DELTA_MOD != 0)
-    delta = slice_counts(F.col("doc_id") % DELTA_MOD == 0)
+    base = _pair_counts(pm.filter(F.col("doc_id") % DELTA_MOD != 0))
+    delta = _pair_counts(pm.filter(F.col("doc_id") % DELTA_MOD == 0))
     return (
         base.unionByName(delta)
         .groupBy("subject", "object")
@@ -497,17 +490,23 @@ def kg_cooc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_ROUNDS = 3
 
 # final frames of the iterative queries, persisted once per
-# (application, input, query) — the get_kg keyed-cache pattern. The
-# loop bodies already unpersist superseded rounds; this bounds the one
-# frame that outlives the loop, so bench/check sweeps that re-invoke
+# (application, source, input, query) — the get_kg keyed-cache pattern.
+# The loop bodies already unpersist superseded rounds; this bounds the
+# one frame that outlives the loop, so check sweeps that re-invoke
 # these queries reuse the result instead of pinning a fresh copy each
 # time (the cache-accumulation hazard ADVICE r2 flagged).
+# TIMING CAVEAT: a second in-process invocation is a cache hit (~0 s).
+# bench.py times each query exactly once per fresh process, so its
+# numbers are true build timings; any harness that loops the suite
+# in one application must use fresh processes per iteration (as
+# tools/scaling.py does) or its iterative-query timings measure a
+# dict lookup.
 _ITER_CACHE: dict[tuple, DataFrame] = {}
 
 
 def kg_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached wrapper — see _hub_distances_build."""
-    key = (spark.sparkContext.applicationId, sf_dir, "hub_distances")
+    key = (*table_source_key(spark, sf_dir), "hub_distances")
     if key not in _ITER_CACHE:
         _ITER_CACHE[key] = _hub_distances_build(spark, sf_dir)
     return _ITER_CACHE[key]
@@ -698,11 +697,29 @@ def linked_mentions_scored(
     """The dictionary-parametrized core of kg_linked_mentions_scored —
     ``gaz`` is any (term, curie) frame; the stress test drives it with
     a 5k-surface synthetic dictionary to exercise the blocked join at
-    realistic dictionary scale."""
+    realistic dictionary scale.
+
+    Two guards keep the key explosion bounded:
+    * tokens longer than max(term length) + LINK_MAX_DIST are filtered
+      BEFORE exploding — lossless (|len(a)−len(b)| ≤ lev(a,b)), and it
+      stops a single pathological unbroken blob (a 10 KB base64 run)
+      from generating len²/2 deletion keys;
+    * the join strategy is left to the optimizer: a dictionary that
+      fits broadcasts (the toy/stress sizes do), one that doesn't
+      shuffle-hash-joins on the key — forcing broadcast would pin a
+      multi-GB exploded build side at the claimed 10⁶-surface scale.
+    """
     docs = read_table(spark, sf_dir, "documents")
+    max_len_row = gaz.agg(
+        F.max(F.length("term")).alias("m")
+    ).collect()  # dictionary-sized aggregation: one scalar
+    max_tok_len = int(max_len_row[0]["m"] or 0) + LINK_MAX_DIST
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
+        .filter(
+            (F.col("token") != "")
+            & (F.length("token") <= max_tok_len)
+        )
         .distinct()
     )
     tok_keys = toks.select(
@@ -713,7 +730,7 @@ def linked_mentions_scored(
     )
     d = F.levenshtein(F.col("token"), F.col("term"))
     scored = (
-        tok_keys.join(F.broadcast(gaz_keys), "k")
+        tok_keys.join(gaz_keys, "k")
         .filter(d <= LINK_MAX_DIST)
         .select("token", "curie", d.alias("distance"))
     )
@@ -734,7 +751,7 @@ _PPM = 1_000_000
 
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached wrapper — see _pagerank_build."""
-    key = (spark.sparkContext.applicationId, sf_dir, "pagerank")
+    key = (*table_source_key(spark, sf_dir), "pagerank")
     if key not in _ITER_CACHE:
         _ITER_CACHE[key] = _pagerank_build(spark, sf_dir)
     return _ITER_CACHE[key]

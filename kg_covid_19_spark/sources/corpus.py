@@ -22,6 +22,20 @@ TABLES = (
 ).split()
 
 
+def table_source_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Cache key for session-level persisted frames derived from the
+    driver tables: (applicationId, RESOLVED SOURCE, sf_dir). The source
+    component matters because read_table's resolution depends on the
+    mutable session conf ``spark.kg.catalog`` — a keyed cache that
+    ignored it would serve frames built from the wrong source after a
+    mid-session catalog toggle (as tests/test_provider.py performs)."""
+    try:
+        catalog = spark.conf.get("spark.kg.catalog", "") or ""
+    except Exception:
+        catalog = ""
+    return (spark.sparkContext.applicationId, catalog, sf_dir)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver table through the provider seam (sources/provider):
     an explicit ``iceberg:<catalog.table>`` name or a session-configured

@@ -117,6 +117,7 @@ def package_kgx_tar(out_dir: str, tar_path: str) -> None:
         ti.mtime = 0
         ti.uid = ti.gid = 0
         ti.uname = ti.gname = ""
+        ti.mode = 0o644  # pin: host umask must not leak into the header
         return ti
 
     # filename="" keeps the gzip FNAME field empty (a named GzipFile

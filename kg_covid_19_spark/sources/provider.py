@@ -96,11 +96,19 @@ class TableProvider:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             try:
                 w.createOrReplace()
-            except Exception:
-                # catalogs without atomic REPLACE TABLE AS SELECT (the
-                # built-in session catalog; some Hive catalogs) — fall
-                # back to drop + create. Iceberg supports RTAS and
-                # never takes this branch.
+            except Exception as exc:
+                # Fall back to drop + create ONLY for the specific
+                # missing-RTAS capability (the built-in session catalog;
+                # some Hive catalogs). Any other failure — analysis
+                # error, executor loss, permissions — must propagate
+                # WITHOUT dropping the existing table: a blanket
+                # fallback would destroy the previous good table and
+                # then re-raise the same error. Iceberg supports RTAS
+                # and never reaches this branch.
+                msg = str(exc)
+                if not ("REPLACE TABLE" in msg
+                        or "UNSUPPORTED_FEATURE" in msg):
+                    raise
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self.qualified(name)}"
                 )

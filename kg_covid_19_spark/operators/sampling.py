@@ -159,7 +159,78 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (retrieval/embedding prep):
+    fixed CHUNK_LEN-char windows every CHUNK_STRIDE chars, overlap
+    CHUNK_LEN−CHUNK_STRIDE, last window ragged. Pure row-local column
+    arithmetic — sequence + substring explode, no shuffle, no Python —
+    and exactly one chunk for empty/short docs (start 1). Chunk ids
+    are (doc_id, chunk_idx), deterministic."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - (CHUNK_LEN - CHUNK_STRIDE), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        docs.select(
+            "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "s")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(f"substring(text, s, {CHUNK_LEN})").alias("chunk"),
+        )
+    )
+
+
+def doc_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep each document with
+    probability equal to its quality score — the corpus-shaping step
+    between scoring and training. The gate is the deterministic hash
+    stream vs floor(quality·10⁶): floor() (not a bare cast) because
+    Spark casts double→long by truncation while DuckDB rounds —
+    floor() is the same IEEE operation in both. quality itself is the
+    already-parity-checked 6-decimal txt_quality score, so the whole
+    predicate is bit-identical cross-engine."""
+    from ..functions.textstats import txt_quality
+
+    q = txt_quality(spark, sf_dir).select("doc_id", "quality")
+    gate = _hash_ppm("qsamp", F.col("doc_id"))
+    return (
+        q.filter(gate < F.floor(F.col("quality") * PPM).cast("long"))
+        .select("doc_id", "quality")
+    )
+
+
 SAMPLING_ORACLES = {
+    "doc_quality_sample": f"""
+WITH q AS (
+  SELECT doc_id,
+    round(least(len(string_split(text, ' ')) / 50.0, 1.0) *
+          (1.0 - abs(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('the', 'a'))) /
+                     CAST(len(string_split(text, ' ')) AS DOUBLE)
+                     - 0.1)), 6) AS quality
+  FROM documents
+)
+SELECT doc_id, quality FROM q
+WHERE {_hash_ppm_sql('qsamp')} < CAST(floor(quality * {PPM}) AS BIGINT)
+""",
+    "doc_chunk_sliding": f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_LEN}) AS chunk
+FROM documents,
+     LATERAL (SELECT unnest(range(0,
+        1 + CAST(floor(
+          (greatest(length(text) - {CHUNK_LEN - CHUNK_STRIDE}, 1) - 1)
+          / {CHUNK_STRIDE}.0) AS BIGINT))) AS i)
+""",
     "doc_pack_sequences": f"""
 WITH t AS (
   SELECT doc_id, lang, doc_id // {PACK_SHARD} AS shard,
@@ -192,6 +263,8 @@ FROM w WHERE n_copies > 0
 }
 
 SAMPLING_QUERIES = {
+    "doc_chunk_sliding": doc_chunk_sliding,
+    "doc_quality_sample": doc_quality_sample,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_epoch_mix": doc_epoch_mix,
     "doc_pack_sequences": doc_pack_sequences,

@@ -462,6 +462,39 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_counts(get_mention_arrays(spark, sf_dir))
 
 
+def kg_degree_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity SUFFICIENT STATISTICS in exact integers:
+    over all directed edge slots (u→v) of the undirected co-occurrence
+    graph, the sums m, Σdu, Σdv, Σdu·dv, Σdu², Σdv² — everything
+    Pearson's r needs, emitted as one exact row. The correlation
+    itself is a downstream float division (engine-dependent rounding),
+    so the engine emits the moments and leaves the last division to
+    the consumer — the same exactness discipline as jaccard_ppm and
+    pagerank. One degree aggregation + one edge join + a single-row
+    total aggregation (partial-agg collapsed map-side)."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    deg = und.groupBy(F.col("subject").alias("id")).agg(
+        F.countDistinct("object").alias("deg")
+    )
+    du = deg.select(F.col("id").alias("subject"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("object"), F.col("deg").alias("dv"))
+    return (
+        und.join(du, "subject")
+        .join(dv, "object")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum("du").cast("long").alias("sum_du"),
+            F.sum("dv").cast("long").alias("sum_dv"),
+            F.sum(F.col("du") * F.col("dv")).cast("long").alias("sum_dudv"),
+            F.sum(F.col("du") * F.col("du")).cast("long").alias("sum_du2"),
+            F.sum(F.col("dv") * F.col("dv")).cast("long").alias("sum_dv2"),
+        )
+    )
+
+
 DELTA_MOD = 10  # doc_id % DELTA_MOD == 0 plays the freshly-arrived slice
 
 
@@ -869,6 +902,7 @@ KG_QUERIES = {
     "kg_resource_allocation": kg_resource_allocation,
     "kg_components": kg_components,
     "kg_kcore": kg_kcore,
+    "kg_degree_moments": kg_degree_moments,
 }
 
 
@@ -1106,5 +1140,26 @@ WITH {_CTE},
     "kg_kcore": f"""
 WITH {_CTE},
 {_kcore_sql()}
+""",
+    "kg_degree_moments": f"""
+WITH {_CTE},
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+deg AS (
+  SELECT subject AS id, count(DISTINCT object) AS deg
+  FROM und GROUP BY subject
+)
+SELECT count(*) AS m,
+       CAST(sum(a.deg) AS BIGINT) AS sum_du,
+       CAST(sum(b.deg) AS BIGINT) AS sum_dv,
+       CAST(sum(a.deg * b.deg) AS BIGINT) AS sum_dudv,
+       CAST(sum(a.deg * a.deg) AS BIGINT) AS sum_du2,
+       CAST(sum(b.deg * b.deg) AS BIGINT) AS sum_dv2
+FROM und
+JOIN deg a ON und.subject = a.id
+JOIN deg b ON und.object = b.id
 """,
 }

@@ -324,6 +324,36 @@ def txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_K = 30
+
+
+def txt_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting: exact top-K ADJACENT token pairs
+    by corpus frequency — the inner statistic of a byte-pair-encoding
+    / WordPiece training round (each round merges the most frequent
+    adjacent pair; this emits the candidate table a trainer would
+    consume). Bigram expansion is row-local (transform over the token
+    array, the txt_repetition idiom); the groupBy keys on the bigram
+    vocabulary (partial-agg collapsed map-side) and the final top-K is
+    a TakeOrdered, ties broken lexicographically."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    two = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(two).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
 # PII redaction patterns — shared Java-regex / RE2 subset only (no
 # lookarounds, memory rule). Order matters: emails before bare domains.
 PII_PATTERNS = [
@@ -425,6 +455,18 @@ SELECT doc_id, md5(text) AS fp_exact,
   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_set
 FROM documents
 """,
+    "txt_bpe_pairs": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2
+)
+SELECT pair, count(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_TOP_K}
+""",
     "txt_top_tokens": f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -500,6 +542,7 @@ TEXTSTATS_QUERIES = {
     "txt_len_deciles": txt_len_deciles,
     "txt_len_deciles_approx": txt_len_deciles_approx,
     "txt_top_tokens": txt_top_tokens,
+    "txt_bpe_pairs": txt_bpe_pairs,
     "txt_lang_confusion": txt_lang_confusion,
     "txt_rarity": txt_rarity,
     "txt_top_docs_per_lang": txt_top_docs_per_lang,

@@ -76,6 +76,22 @@ class TableProvider:
             return self.spark.read.table(self.qualified(name))
         return self.spark.read.parquet(self.location(name))
 
+    def _drop_orphan_location(self, table: str) -> None:
+        """Remove a stray managed-table directory a previously FAILED
+        staging CTAS left behind (DROP TABLE can't see it — there is no
+        table, only the location) so the retry doesn't die with
+        LOCATION_ALREADY_EXISTS. Best-effort via the Hadoop FS API."""
+        try:
+            wh = self.spark.conf.get("spark.sql.warehouse.dir")
+            jvm = self.spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
+            fs = path.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            fs.delete(path, True)
+        except Exception:
+            pass  # no orphan, or a non-filesystem catalog
+
     # -- write ----------------------------------------------------------
     def write(
         self,
@@ -97,22 +113,45 @@ class TableProvider:
             try:
                 w.createOrReplace()
             except Exception as exc:
-                # Fall back to drop + create ONLY for the specific
-                # missing-RTAS capability (the built-in session catalog;
-                # some Hive catalogs). Any other failure — analysis
-                # error, executor loss, permissions — must propagate
-                # WITHOUT dropping the existing table: a blanket
-                # fallback would destroy the previous good table and
-                # then re-raise the same error. Iceberg supports RTAS
+                # Fall back ONLY for the specific missing-RTAS
+                # capability (the built-in session catalog; some Hive
+                # catalogs). Any other failure — analysis error,
+                # executor loss, permissions — must propagate WITHOUT
+                # touching the existing table. Iceberg supports RTAS
                 # and never reaches this branch.
                 msg = str(exc)
                 if not ("REPLACE TABLE" in msg
                         or "UNSUPPORTED_FEATURE" in msg):
                     raise
+                # Non-atomic catalogs get a staging swap, not
+                # drop-then-create: the CTAS runs (and can fail) while
+                # the previous table is still intact; only a fully
+                # written staging table replaces it.
+                staging = f"{name}__staging"
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self.qualified(staging)}"
+                )
+                self._drop_orphan_location(staging)
+                ws = df.writeTo(self.qualified(staging)).using(fmt)
+                if partition_by:
+                    ws = ws.partitionedBy(
+                        *[F.col(c) for c in partition_by]
+                    )
+                ws.create()
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self.qualified(name)}"
                 )
-                w.create()
+                self.spark.sql(
+                    f"ALTER TABLE {self.qualified(staging)} "
+                    f"RENAME TO {self.namespace}.{name}"
+                )
+                if partition_by:
+                    # the rename moves the managed location but the
+                    # catalog's partition entries still point at the
+                    # staging paths — rediscover them from the files
+                    self.spark.sql(
+                        f"MSCK REPAIR TABLE {self.qualified(name)}"
+                    )
         else:
             (
                 df.write.mode("overwrite")

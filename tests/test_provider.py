@@ -81,3 +81,30 @@ def test_read_table_routes_through_provider(spark, tmp_path, pages):
     finally:
         spark.conf.unset(CATALOG_CONF)
         spark.sql("DROP TABLE IF EXISTS spark_catalog.default.documents")
+
+
+def test_catalog_write_failure_preserves_existing_table(spark, pages):
+    """A failing write must NOT destroy the previous table: the
+    drop+create fallback fires only on the missing-RTAS error, so a
+    runtime failure inside the new data propagates while the old
+    table stays readable."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType
+
+    spark.sql("DROP TABLE IF EXISTS spark_catalog.default.prov_keep")
+    prov = TableProvider(spark, root="/unused", catalog="spark_catalog")
+    prov.write(pages, "prov_keep")
+    assert prov.read("prov_keep").count() == 20
+
+    @F.udf(LongType())
+    def boom(x):
+        raise RuntimeError("poison row")
+
+    bad = pages.select(boom(F.col("doc_id")).alias("doc_id"))
+    try:
+        with _pytest.raises(Exception):
+            prov.write(bad, "prov_keep")
+        # the original table survived the failed overwrite
+        assert prov.read("prov_keep").count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spark_catalog.default.prov_keep")

@@ -82,6 +82,34 @@ def _undirected(cooc: DataFrame) -> DataFrame:
     )
 
 
+_DEG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cooc_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, deg) of the undirected co-occurrence graph, persisted once
+    per (application, source, input) — five queries (triangles, capped
+    common-neighbors, jaccard, degree moments, histogram) each need
+    this table, and without the cache every one re-runs the union +
+    aggregation (triangles three times over, once per self-join arm).
+    The frame is |V| ≤ |dictionary| rows — broadcast-sized here,
+    bounded by the entity vocabulary at any scale. On the distinct-pair
+    edge set, countDistinct(object) == count(*) incident edges; the
+    distinct form is used so the cache stays correct even if a
+    multi-edge source is ever merged in."""
+    key = table_source_key(spark, sf_dir)
+    if key not in _DEG_CACHE:
+        _, edges = get_kg(spark, sf_dir)
+        und = _undirected(
+            edges.filter(F.col("predicate") == "biolink:correlated_with")
+        )
+        deg = und.groupBy(F.col("subject").alias("id")).agg(
+            F.countDistinct("object").alias("deg")
+        ).persist()
+        deg.count()
+        _DEG_CACHE[key] = deg
+    return _DEG_CACHE[key]
+
+
 def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query-04: 2-hop self-join — x co-occurs with HUB, y co-occurs with x
     (J12). Returns distinct (mid, far) pairs, far ∉ {HUB}."""
@@ -135,10 +163,11 @@ def kg_common_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _undirected(
         edges.filter(F.col("predicate") == "biolink:correlated_with")
     )
-    deg = und.groupBy(F.col("subject").alias("via")).agg(
-        F.countDistinct("object").alias("via_deg")
+    low = (
+        _cooc_degrees(spark, sf_dir)
+        .filter(F.col("deg") <= VIA_DEGREE_CAP)
+        .select(F.col("id").alias("via"))
     )
-    low = deg.filter(F.col("via_deg") <= VIA_DEGREE_CAP).select("via")
     a = und.select(F.col("subject").alias("x"), F.col("object").alias("via"))
     b = und.select(F.col("subject").alias("y"), F.col("object").alias("via"))
     return (
@@ -161,9 +190,7 @@ def kg_jaccard_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _undirected(
         edges.filter(F.col("predicate") == "biolink:correlated_with")
     )
-    deg = und.groupBy(F.col("subject").alias("id")).agg(
-        F.countDistinct("object").alias("deg")
-    )
+    deg = _cooc_degrees(spark, sf_dir)
     a = und.select(F.col("subject").alias("x"), F.col("object").alias("via"))
     b = und.select(F.col("subject").alias("y"), F.col("object").alias("via"))
     common = (
@@ -204,8 +231,8 @@ def kg_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _undirected(
         edges.filter(F.col("predicate") == "biolink:correlated_with")
     )
-    deg = und.groupBy(F.col("object").alias("via")).agg(
-        F.countDistinct("subject").alias("via_deg")
+    deg = _cooc_degrees(spark, sf_dir).select(
+        F.col("id").alias("via"), F.col("deg").alias("via_deg")
     )
     a = und.select(F.col("subject").alias("x"), F.col("object").alias("via"))
     b = und.select(F.col("subject").alias("y"), F.col("object").alias("via"))
@@ -378,13 +405,10 @@ def _kcore_sql() -> str:
 def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-occurrence graph (A5/A8 extension):
     how many entities have each undirected degree. Two dictionary-
-    bounded aggregations — the histogram never exceeds |V| rows."""
-    _, edges = get_kg(spark, sf_dir)
-    und = _undirected(
-        edges.filter(F.col("predicate") == "biolink:correlated_with")
-    )
-    degrees = und.groupBy(F.col("subject").alias("id")).agg(
-        F.countDistinct("object").alias("degree")
+    bounded aggregations (the first served by the shared degree
+    cache) — the histogram never exceeds |V| rows."""
+    degrees = _cooc_degrees(spark, sf_dir).select(
+        "id", F.col("deg").alias("degree")
     )
     return degrees.groupBy("degree").agg(F.count("*").alias("n_entities"))
 
@@ -476,9 +500,7 @@ def kg_degree_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _undirected(
         edges.filter(F.col("predicate") == "biolink:correlated_with")
     )
-    deg = und.groupBy(F.col("subject").alias("id")).agg(
-        F.countDistinct("object").alias("deg")
-    )
+    deg = _cooc_degrees(spark, sf_dir)
     du = deg.select(F.col("id").alias("subject"), F.col("deg").alias("du"))
     dv = deg.select(F.col("id").alias("object"), F.col("deg").alias("dv"))
     return (
@@ -627,12 +649,7 @@ def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.filter(F.col("predicate") == "biolink:correlated_with")
         .select("subject", "object")
     )
-    deg = (
-        e.select(F.col("subject").alias("id"))
-        .union(e.select(F.col("object").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _cooc_degrees(spark, sf_dir)  # shared persisted (id, deg)
     ed = e.join(
         deg.select(F.col("id").alias("subject"), F.col("deg").alias("ds")),
         "subject",

@@ -82,6 +82,34 @@ PIPELINE_BENCH = {
 }
 
 
+def _calibrate(spark) -> dict:
+    """Machine-noise calibration, reported alongside the timings so a
+    round-over-round comparison can tell a plan regression from a noisy
+    host window (observed on this VM: the same commit benched its
+    headline 11.6 s and 16.7 s two hours apart while taskset-pinned
+    fixed workloads stayed within 10%). Two fixed probes:
+    * ``calib_cpu_sec``  — single-thread Python arithmetic loop;
+    * ``calib_spark_sec`` — a fixed 32-partition JVM-only aggregation.
+    Ratios of the same probe across rounds approximate the host-speed
+    ratio at each measurement time."""
+    import time as _t
+
+    t0 = _t.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    cpu = _t.time() - t0
+    t0 = _t.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 3 + 1)"
+    ).collect()
+    sp = _t.time() - t0
+    return {
+        "calib_cpu_sec": round(cpu, 3),
+        "calib_spark_sec": round(sp, 3),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="kg-spark-bench")
     spark.range(1).count()  # JVM warm-up, excluded from timings
@@ -95,6 +123,7 @@ def main() -> None:
         return s
 
     spark.range(64).repartition(32).select(_warm("id")).count()
+    calib = _calibrate(spark)
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
@@ -143,6 +172,7 @@ def main() -> None:
                 "n_edges": n_edges,
                 "triples_per_sec": round(n_edges / build_sec, 1),
                 "docs_per_sec": round(n_docs / build_sec, 1),
+                **calib,
             }
         )
     )

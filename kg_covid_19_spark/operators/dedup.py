@@ -296,6 +296,93 @@ def neardup_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+
+
+CLUSTER_ROUNDS = 3
+
+
+_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
+
+
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper — see _dedup_clusters_build (the
+    iterative final frame is persisted once per application × source ×
+    input, the _ITER_CACHE discipline)."""
+    key = table_source_key(spark, sf_dir)
+    if key not in _CLUSTER_CACHE:
+        _CLUSTER_CACHE[key] = _dedup_clusters_build(spark, sf_dir)
+    return _CLUSTER_CACHE[key]
+
+
+def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DELIVERABLE the pair list feeds: near-duplicate
+    CLUSTERS with a canonical survivor per cluster — hash-min label
+    propagation (the kg_components plan) over the verified Jaccard
+    pair graph, CLUSTER_ROUNDS bounded rounds (near-dup components are
+    short chains; production iterates the same per-round plan to
+    fixpoint). Output: every clustered doc with its cluster label
+    (= min doc_id in its component) and an is_survivor flag — filter
+    survivors ∪ unclustered docs to materialize the deduped corpus.
+    Deterministic: min over integer ids, no RNG."""
+    pairs = neardup_pairs(spark, sf_dir).select("a", "b")
+    und = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    lbl = (
+        und.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .persist()
+    )
+    prev = lbl
+    for _ in range(CLUSTER_ROUNDS):
+        nbr = und.join(lbl, und.b == lbl.doc_id).select(
+            und.a.alias("doc_id"), "lbl"
+        )
+        lbl = (
+            lbl.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        lbl.count()  # materialize before releasing the previous round
+        prev.unpersist()
+        prev = lbl
+    return lbl.select(
+        "doc_id",
+        F.col("lbl").alias("cluster"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_survivor"),
+    )
+
+
+def _dedup_cluster_sql() -> str:
+    parts = [
+        """pairs AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes za ON i.a = za.doc_id
+  JOIN sizes zb ON i.b = zb.doc_id
+  WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
+)""",
+        "und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs)",
+        "l0 AS (SELECT DISTINCT a AS doc_id, a AS lbl FROM und)",
+    ]
+    for k in range(CLUSTER_ROUNDS):
+        parts.append(
+            f"l{k + 1} AS (SELECT doc_id, min(lbl) AS lbl FROM ("
+            f"SELECT doc_id, lbl FROM l{k} "
+            f"UNION ALL "
+            f"SELECT und.a AS doc_id, l{k}.lbl AS lbl "
+            f"FROM und JOIN l{k} ON und.b = l{k}.doc_id"
+            f") GROUP BY doc_id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT doc_id, lbl AS cluster, doc_id = lbl AS is_survivor "
+        f"FROM l{CLUSTER_ROUNDS}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -567,6 +654,18 @@ JOIN sizes za ON i.a = za.doc_id
 JOIN sizes zb ON i.b = zb.doc_id
 WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
 """,
+    "doc_dedup_clusters": f"""
+WITH {_candidates_sql()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingled sa ON c.a = sa.doc_id
+  JOIN shingled sb ON c.b = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY c.a, c.b
+),
+{_dedup_cluster_sql()}
+""",
     "doc_simhash_clusters": f"""
 WITH {_SIMHASH_CTE}
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
@@ -616,4 +715,5 @@ DEDUP_QUERIES = {
     "doc_dup_ngrams": doc_dup_ngrams,
     "doc_decontaminate": doc_decontaminate,
     "doc_minhash_jaccard_est": minhash_jaccard_estimate,
+    "doc_dedup_clusters": doc_dedup_clusters,
 }

@@ -263,6 +263,42 @@ def evt_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIGRAM_TOP_K = 20
+
+
+def evt_user_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral n-gram mining: top-K event-type TRIGRAMS across all
+    user timelines (the sequence-pattern statistic funnels specialize
+    — a funnel is one chosen trigram). Each user's events are ordered
+    by (ts, event_id) (total order, deterministic); two lag windows
+    over the ONE user_id exchange build the trigram, a bounded groupBy
+    counts it, and the final top-K is a TakeOrdered with a
+    lexicographic tiebreak."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.concat_ws(
+                ">",
+                F.lag("event_type", 2).over(w),
+                F.lag("event_type", 1).over(w),
+                F.col("event_type"),
+            ).alias("trigram"),
+            F.lag("event_type", 2).over(w).alias("_g2"),
+        )
+        .filter(F.col("_g2").isNotNull())
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(TRIGRAM_TOP_K)
+    )
+
+
 FUNNEL_STAGES = ["none", "view", "view_click", "view_click_purchase"]
 
 
@@ -326,6 +362,19 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
        count(*) AS n,
        CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "evt_user_trigrams": f"""
+WITH tri AS (
+  SELECT user_id,
+    lag(event_type, 2) OVER w AS g2,
+    lag(event_type, 1) OVER w AS g1,
+    event_type AS g0
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT g2 || '>' || g1 || '>' || g0 AS trigram, count(*) AS n
+FROM tri WHERE g2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT {TRIGRAM_TOP_K}
 """,
     "evt_sessions": """
 WITH gapped AS (
@@ -468,6 +517,7 @@ EVENTS_QUERIES = {
     "evt_retention": evt_retention,
     "evt_props_stats": evt_props_stats,
     "evt_approx_user_counts": evt_approx_user_counts,
+    "evt_user_trigrams": evt_user_trigrams,
 }
 
 

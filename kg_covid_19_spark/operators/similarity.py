@@ -309,6 +309,87 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+EMB_CLUSTER_ROUNDS = 3
+
+
+_EMB_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
+
+
+def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper — see _emb_clusters_build."""
+    from ..sources.corpus import table_source_key
+
+    key = table_source_key(spark, sf_dir)
+    if key not in _EMB_CLUSTER_CACHE:
+        _EMB_CLUSTER_CACHE[key] = _emb_clusters_build(spark, sf_dir)
+    return _EMB_CLUSTER_CACHE[key]
+
+
+def _emb_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters: hash-min label propagation
+    (EMB_CLUSTER_ROUNDS bounded rounds, the doc_dedup_clusters /
+    kg_components plan) over the embedding cosine near-dup pair graph
+    — the deliverable of embedding dedup: each clustered vector with
+    its cluster label (= min vec_id in the component) and a survivor
+    flag. Deterministic: min over integer ids; the pair graph itself
+    is the already-parity-checked emb_cosine_neardup output."""
+    pairs = emb_cosine_neardup(spark, sf_dir).select("id_a", "id_b")
+    und = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    lbl = (
+        und.select(F.col("a").alias("vec_id"))
+        .distinct()
+        .withColumn("lbl", F.col("vec_id"))
+        .persist()
+    )
+    prev = lbl
+    for _ in range(EMB_CLUSTER_ROUNDS):
+        nbr = und.join(lbl, und.b == lbl.vec_id).select(
+            und.a.alias("vec_id"), "lbl"
+        )
+        lbl = (
+            lbl.unionByName(nbr)
+            .groupBy("vec_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        lbl.count()
+        prev.unpersist()
+        prev = lbl
+    return lbl.select(
+        "vec_id",
+        F.col("lbl").alias("cluster"),
+        (F.col("vec_id") == F.col("lbl")).alias("is_survivor"),
+    )
+
+
+def _emb_cluster_sql() -> str:
+    parts = [
+        "p AS (SELECT id_a, id_b FROM nd)",
+        "und AS (SELECT id_a AS a, id_b AS b FROM p "
+        "UNION ALL SELECT id_b AS a, id_a AS b FROM p)",
+        "l0 AS (SELECT DISTINCT a AS vec_id, a AS lbl FROM und)",
+    ]
+    for k in range(EMB_CLUSTER_ROUNDS):
+        parts.append(
+            f"l{k + 1} AS (SELECT vec_id, min(lbl) AS lbl FROM ("
+            f"SELECT vec_id, lbl FROM l{k} "
+            f"UNION ALL "
+            f"SELECT und.a AS vec_id, l{k}.lbl AS lbl "
+            f"FROM und JOIN l{k} ON und.b = l{k}.vec_id"
+            f") GROUP BY vec_id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, lbl AS cluster, vec_id = lbl AS is_survivor "
+        f"FROM l{EMB_CLUSTER_ROUNDS}"
+    )
+
+
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: coarse quantizer + probed inverted lists.
 
@@ -452,6 +533,23 @@ SELECT id_a, id_b, round({_cos_sql('va', 'vb')}, 6) AS sim
 FROM cands
 WHERE {_cos_sql('va', 'vb')} >= {NEARDUP_THRESHOLD}
 """,
+    "emb_dedup_clusters": f"""
+WITH vecs AS (
+  SELECT vec_id, v,
+         {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(N_TABLES))}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM vecs a JOIN vecs b
+    ON ({" OR ".join(f"a.b{t} = b.b{t}" for t in range(N_TABLES))})
+   AND a.vec_id < b.vec_id
+),
+nd AS (
+  SELECT id_a, id_b FROM cands WHERE {_cos_sql('va', 'vb')} >= {NEARDUP_THRESHOLD}
+),
+{_emb_cluster_sql()}
+""",
     "emb_ivf_ann": f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT vec_id AS centroid_id, v AS c FROM vecs
@@ -498,4 +596,5 @@ SIM_QUERIES = {
     "emb_lsh_ann": emb_lsh_ann,
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_ivf_ann": emb_ivf_ann,
+    "emb_dedup_clusters": emb_dedup_clusters,
 }

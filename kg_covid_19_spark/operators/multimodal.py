@@ -223,16 +223,81 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+GRID_Q = 50_000       # ppm per grid cell edge
+L1_MAX_PPM = 100_000  # total L1 distance bound for a near-dup pair
+
+
+def media_grid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal NEAR-dup: same-grid-cell feature pairs within an L1
+    bound — the approximate companion to media_dedup_exact, over the
+    deterministic 8-dim integer-ppm feature vectors. Blocking is a
+    grid cell (each dim floor-divided by GRID_Q, joined as one key):
+    candidates are cell-bounded exactly like an LSH bucket join, ids +
+    vectors only, and the L1 verify runs on collisions. Same-cell-only
+    is part of the STATED semantics (a boundary-straddling pair is not
+    reported — the standard grid-LSH recall trade, mirrored exactly by
+    the oracle), so the check is exact, not probabilistic. All
+    arithmetic integer ppm — nothing float to diverge."""
+    f = media_features(spark, sf_dir)
+    v = F.transform(F.split("f0", ","), lambda s: s.cast("long"))
+    g = f.select("doc_id", v.alias("v")).withColumn(
+        "cell",
+        F.expr(
+            f"array_join(transform(v, x -> CAST(x div {GRID_Q} "
+            f"AS STRING)), '_')"
+        ),
+    )
+    a = g.select(
+        F.col("doc_id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = g.select(
+        F.col("doc_id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    l1 = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> abs(x - y)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("l1_ppm", l1)
+        .filter(F.col("l1_ppm") <= L1_MAX_PPM)
+        .select("id_a", "id_b", "l1_ppm")
+    )
+
+
 def _dedup_corpus_cte() -> str:
     from .dedup import DEDUP_CORPUS_CTE
 
     return DEDUP_CORPUS_CTE
 
 
+def _grid_neardup_sql() -> str:
+    dims = range(1, len(FEATURE_CHARS) + 1)
+    cell = " || '_' || ".join(
+        f"CAST(v[{i}] // {GRID_Q} AS VARCHAR)" for i in dims
+    )
+    l1 = " + ".join(f"abs(a.v[{i}] - b.v[{i}])" for i in dims)
+    return f"""feats AS (
+  SELECT doc_id,
+         list_transform(string_split({_feat_sql()}, ','),
+                        x -> CAST(x AS BIGINT)) AS v
+  FROM documents
+),
+cells AS (SELECT doc_id, v, {cell} AS cell FROM feats)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({l1}) AS l1_ppm
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.doc_id < b.doc_id
+WHERE ({l1}) <= {L1_MAX_PPM}"""
+
+
 MULTIMODAL_ORACLES = {
     # DuckDB md5 takes VARCHAR, not BLOB; the media bytes ARE the
     # UTF-8 encoding of text, so md5(text) hashes identical bytes to
     # Spark's md5 over the binary column
+    "media_grid_neardup": f"""
+WITH {_grid_neardup_sql()}
+""",
     "media_dedup_exact": f"""
 WITH {_dedup_corpus_cte()}
 SELECT md5(text) AS media_hash, count(*) AS n_media,
@@ -279,4 +344,5 @@ MULTIMODAL_QUERIES = {
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
     "media_dedup_exact": media_dedup_exact,
+    "media_grid_neardup": media_grid_neardup,
 }

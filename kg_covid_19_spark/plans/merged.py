@@ -54,11 +54,49 @@ def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_stats(nodes, edges)
 
 
+def kg_namespace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QC: node counts per CURIE namespace (prefix before ':') —
+    the prefix-coverage readout a KGX validation pass prints
+    (reference: kgx validate over merged-kg; SURVEY §2.6 C-family).
+    One bounded groupBy (namespaces are the prefix dictionary)."""
+    nodes, _ = get_merged(spark, sf_dir)
+    return (
+        nodes.select(
+            F.split(F.col("id"), ":").getItem(0).alias("namespace")
+        )
+        .groupBy("namespace")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def kg_dangling_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QC: referential integrity — edges whose subject or object has
+    no node row (the dangling-edge check a KGX validator runs; the
+    merge stage should leave zero on its own output, and the count
+    being driver-checked keeps that invariant load-bearing). Two
+    anti-joins on the node id key, union, dedup on the edge key."""
+    nodes, edges = get_merged(spark, sf_dir)
+    ids = nodes.select("id")
+    missing_s = edges.join(
+        ids.withColumnRenamed("id", "subject"), "subject", "left_anti"
+    )
+    missing_o = edges.join(
+        ids.withColumnRenamed("id", "object"), "object", "left_anti"
+    )
+    return (
+        missing_s.select("subject", "predicate", "object")
+        .unionByName(missing_o.select("subject", "predicate", "object"))
+        .distinct()
+    )
+
+
 MERGED_QUERIES = {
     "kg_merged_nodes": kg_merged_nodes,
     "kg_merged_edges": kg_merged_edges,
     "kg_merged_nodes_salted": kg_merged_nodes_salted,
     "kg_graph_stats": kg_graph_stats,
+    "kg_namespace_counts": kg_namespace_counts,
+    "kg_dangling_edges": kg_dangling_edges,
 }
 
 _CTE = merged_cte_sql()
@@ -75,6 +113,21 @@ SELECT subject, predicate, object, relation, provided_by FROM merged_edges
     "kg_merged_nodes_salted": f"""
 WITH {_CTE}
 SELECT id, name, category, provided_by FROM merged_nodes
+""",
+    "kg_namespace_counts": f"""
+WITH {_CTE}
+SELECT string_split(id, ':')[1] AS namespace, count(*) AS n_nodes
+FROM merged_nodes GROUP BY 1
+""",
+    "kg_dangling_edges": f"""
+WITH {_CTE}
+SELECT DISTINCT subject, predicate, object FROM (
+  SELECT e.subject, e.predicate, e.object FROM merged_edges e
+  WHERE e.subject NOT IN (SELECT id FROM merged_nodes)
+  UNION ALL
+  SELECT e.subject, e.predicate, e.object FROM merged_edges e
+  WHERE e.object NOT IN (SELECT id FROM merged_nodes)
+)
 """,
     "kg_graph_stats": f"""
 WITH {_CTE}

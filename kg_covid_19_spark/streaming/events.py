@@ -263,6 +263,19 @@ def evt_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution: how many sessions contain each
+    event count — the QC readout over the sessionization output (a
+    gap-threshold bug shows up here as a mass shift long before
+    anyone reads individual sessions). Builds on evt_sessions; one
+    extra bounded groupBy (session lengths are small integers)."""
+    return (
+        evt_sessions(spark, sf_dir)
+        .groupBy("n_events")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+
+
 TRIGRAM_TOP_K = 20
 
 
@@ -362,6 +375,25 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
        count(*) AS n,
        CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "evt_session_stats": """
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gapped
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT n_events, count(*) AS n_sessions FROM per GROUP BY n_events
 """,
     "evt_user_trigrams": f"""
 WITH tri AS (
@@ -518,6 +550,7 @@ EVENTS_QUERIES = {
     "evt_props_stats": evt_props_stats,
     "evt_approx_user_counts": evt_approx_user_counts,
     "evt_user_trigrams": evt_user_trigrams,
+    "evt_session_stats": evt_session_stats,
 }
 
 

@@ -325,9 +325,13 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors ∪ unclustered docs to materialize the deduped corpus.
     Deterministic: min over integer ids, no RNG."""
     pairs = neardup_pairs(spark, sf_dir).select("a", "b")
+    # persist: the expensive candidate-join + Jaccard-verify pipeline
+    # under `und` is read by the initial distinct AND every round's
+    # neighbor join — without this each round re-executes the verify
     und = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).persist()
+    und.count()
     lbl = (
         und.select(F.col("a").alias("doc_id"))
         .distinct()
@@ -348,6 +352,7 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         lbl.count()  # materialize before releasing the previous round
         prev.unpersist()
         prev = lbl
+    und.unpersist()  # final labels are materialized; pair graph done
     return lbl.select(
         "doc_id",
         F.col("lbl").alias("cluster"),
@@ -615,6 +620,19 @@ sh AS (
   FROM sums
 )"""
 
+# shared by the doc_neardup_pairs and doc_dedup_clusters oracles — one
+# definition of the candidate-verify chain so a threshold/shape change
+# cannot silently diverge between the pair list and its cluster roll-up
+_NEARDUP_CHAIN_SQL = """sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingled sa ON c.a = sa.doc_id
+  JOIN shingled sb ON c.b = sb.doc_id AND sa.shingle = sb.shingle
+  GROUP BY c.a, c.b
+)"""
+
+
 DEDUP_ORACLES = {
     "doc_decontaminate": f"""
 WITH sh AS (
@@ -639,14 +657,7 @@ SELECT a, b FROM cand
 """,
     "doc_neardup_pairs": f"""
 WITH {_candidates_sql()},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT c.a, c.b, count(*) AS n_inter
-  FROM cand c
-  JOIN shingled sa ON c.a = sa.doc_id
-  JOIN shingled sb ON c.b = sb.doc_id AND sa.shingle = sb.shingle
-  GROUP BY c.a, c.b
-)
+{_NEARDUP_CHAIN_SQL}
 SELECT i.a, i.b,
        round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
 FROM inter i
@@ -656,14 +667,7 @@ WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
 """,
     "doc_dedup_clusters": f"""
 WITH {_candidates_sql()},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT c.a, c.b, count(*) AS n_inter
-  FROM cand c
-  JOIN shingled sa ON c.a = sa.doc_id
-  JOIN shingled sb ON c.b = sb.doc_id AND sa.shingle = sb.shingle
-  GROUP BY c.a, c.b
-),
+{_NEARDUP_CHAIN_SQL},
 {_dedup_cluster_sql()}
 """,
     "doc_simhash_clusters": f"""

@@ -335,11 +335,14 @@ def _emb_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag. Deterministic: min over integer ids; the pair graph itself
     is the already-parity-checked emb_cosine_neardup output."""
     pairs = emb_cosine_neardup(spark, sf_dir).select("id_a", "id_b")
+    # persist: the bucket self-join + cosine verify under `und` feeds
+    # the initial distinct AND every propagation round
     und = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).unionAll(
         pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
-    )
+    ).persist()
+    und.count()
     lbl = (
         und.select(F.col("a").alias("vec_id"))
         .distinct()
@@ -360,6 +363,7 @@ def _emb_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         lbl.count()
         prev.unpersist()
         prev = lbl
+    und.unpersist()  # final labels are materialized; pair graph done
     return lbl.select(
         "vec_id",
         F.col("lbl").alias("cluster"),
@@ -479,6 +483,27 @@ def _table_bucket_sql(table: int) -> str:
         for k in range(PLANES_PER_TABLE)
     )
 
+def _neardup_cands_sql() -> str:
+    """Shared by the emb_cosine_neardup and emb_dedup_clusters oracles
+    — one definition of the 16-table bucket candidate chain so an
+    N_TABLES/bucket change cannot diverge between pair list and
+    cluster roll-up."""
+    buckets = ", ".join(
+        f"{_table_bucket_sql(t)} AS b{t}" for t in range(N_TABLES)
+    )
+    any_bucket = " OR ".join(f"a.b{t} = b.b{t}" for t in range(N_TABLES))
+    return f"""vecs AS (
+  SELECT vec_id, v, {buckets}
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM vecs a JOIN vecs b
+    ON ({any_bucket})
+   AND a.vec_id < b.vec_id
+)"""
+
+
 SIM_ORACLES = {
     "emb_knn_bruteforce": f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -518,33 +543,13 @@ SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
 FROM ranked WHERE rank <= {TOP_K}
 """,
     "emb_cosine_neardup": f"""
-WITH vecs AS (
-  SELECT vec_id, v,
-         {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(N_TABLES))}
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-),
-cands AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-  FROM vecs a JOIN vecs b
-    ON ({" OR ".join(f"a.b{t} = b.b{t}" for t in range(N_TABLES))})
-   AND a.vec_id < b.vec_id
-)
+WITH {_neardup_cands_sql()}
 SELECT id_a, id_b, round({_cos_sql('va', 'vb')}, 6) AS sim
 FROM cands
 WHERE {_cos_sql('va', 'vb')} >= {NEARDUP_THRESHOLD}
 """,
     "emb_dedup_clusters": f"""
-WITH vecs AS (
-  SELECT vec_id, v,
-         {", ".join(f"{_table_bucket_sql(t)} AS b{t}" for t in range(N_TABLES))}
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-),
-cands AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-  FROM vecs a JOIN vecs b
-    ON ({" OR ".join(f"a.b{t} = b.b{t}" for t in range(N_TABLES))})
-   AND a.vec_id < b.vec_id
-),
+WITH {_neardup_cands_sql()},
 nd AS (
   SELECT id_a, id_b FROM cands WHERE {_cos_sql('va', 'vb')} >= {NEARDUP_THRESHOLD}
 ),

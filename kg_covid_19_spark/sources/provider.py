@@ -83,14 +83,20 @@ class TableProvider:
         LOCATION_ALREADY_EXISTS. Best-effort via the Hadoop FS API."""
         try:
             wh = self.spark.conf.get("spark.sql.warehouse.dir")
+            # default namespace lays out {wh}/{table}; named namespaces
+            # {wh}/{ns}.db/{table} — clean whichever exists
+            candidates = [f"{wh}/{table}"]
+            if self.namespace != "default":
+                candidates = [f"{wh}/{self.namespace}.db/{table}"]
             jvm = self.spark._jvm
-            path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
-            fs = path.getFileSystem(
-                self.spark._jsc.hadoopConfiguration()
-            )
-            fs.delete(path, True)
+            conf = self.spark._jsc.hadoopConfiguration()
+            for loc in candidates:
+                path = jvm.org.apache.hadoop.fs.Path(loc)
+                path.getFileSystem(conf).delete(path, True)
         except Exception:
-            pass  # no orphan, or a non-filesystem catalog
+            pass  # no orphan, a non-filesystem catalog, or Connect
+            # (no _jvm) — the staging create will surface any real
+            # leftover as LOCATION_ALREADY_EXISTS
 
     # -- write ----------------------------------------------------------
     def write(
@@ -148,9 +154,12 @@ class TableProvider:
                 if partition_by:
                     # the rename moves the managed location but the
                     # catalog's partition entries still point at the
-                    # staging paths — rediscover them from the files
+                    # staging paths — SYNC (add + drop) rediscovers
+                    # from the files; plain ADD-mode MSCK would skip
+                    # existing entries with stale locations
                     self.spark.sql(
-                        f"MSCK REPAIR TABLE {self.qualified(name)}"
+                        f"MSCK REPAIR TABLE {self.qualified(name)} "
+                        f"SYNC PARTITIONS"
                     )
         else:
             (

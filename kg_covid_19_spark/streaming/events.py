@@ -369,6 +369,25 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared by the evt_sessions and evt_session_stats oracles — one
+# definition of the gap/cumsum sessionization chain so a gap-threshold
+# or ordering change cannot diverge between sessions and their stats
+_SESSIONS_CTE = """gapped AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  -- CAST: DuckDB sum(INT) is HUGEINT (no Arrow int128) — degrades to
+  -- double through a pandas fetch; int64 hashes identically to Spark.
+  SELECT user_id, ts,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gapped
+)"""
+
+
 EVENTS_ORACLES = {
     "evt_windowed_counts": """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
@@ -376,19 +395,8 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
        CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
-    "evt_session_stats": """
-WITH gapped AS (
-  SELECT user_id, ts, event_id,
-    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id,
-    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-  FROM gapped
-),
+    "evt_session_stats": f"""
+WITH {_SESSIONS_CTE},
 per AS (
   SELECT user_id, session_id, count(*) AS n_events
   FROM sess GROUP BY user_id, session_id
@@ -408,21 +416,8 @@ SELECT g2 || '>' || g1 || '>' || g0 AS trigram, count(*) AS n
 FROM tri WHERE g2 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT {TRIGRAM_TOP_K}
 """,
-    "evt_sessions": """
-WITH gapped AS (
-  SELECT user_id, ts, event_id,
-    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  -- CAST: DuckDB sum(INT) is HUGEINT (no Arrow int128) — degrades to
-  -- double through a pandas fetch; int64 hashes identically to Spark.
-  SELECT user_id, ts,
-    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-  FROM gapped
-)
+    "evt_sessions": f"""
+WITH {_SESSIONS_CTE}
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_id

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.corpus import read_table, table_source_key
+from ..sources.corpus import read_table, register_session_cache, table_source_key
 
 # marker stopwords per language (deterministic toy lists — the n-gram
 # heuristic shape; real lists would be broadcast the same way)
@@ -232,7 +232,7 @@ def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKS_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+_TOKS_CACHE: dict[tuple, tuple[DataFrame, int]] = register_session_cache({})
 
 
 def _rarity_tokens(

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.corpus import read_table, table_source_key
+from ..sources.corpus import read_table, register_session_cache, table_source_key
 
 N_HASHES = 8
 BAND_SIZE = 2  # → 4 bands of 2 hashes
@@ -138,7 +138,7 @@ def make_shingle_udf():
     return shingles
 
 
-_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple, DataFrame] = register_session_cache({})
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,7 +301,7 @@ def neardup_pairs(spark: SparkSession, sf_dir: str,
 CLUSTER_ROUNDS = 3
 
 
-_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple, DataFrame] = register_session_cache({})
 
 
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

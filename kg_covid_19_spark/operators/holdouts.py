@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.corpus import table_source_key
+from ..sources.corpus import register_session_cache, table_source_key
 from ..functions.hashing import hash_mod_sql as _hash_mod_sql
 from ..plans.merged import get_merged
 
@@ -137,9 +137,21 @@ def holdout_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEG_LABEL = "negative_edge"  # make_holdouts.py:119-120 defaults
 
 
-def _global_rank(
-    df: DataFrame, n_parts: int = 32, materialize: bool = False
-) -> DataFrame:
+def _local_ranks(df: DataFrame, n_parts: int) -> DataFrame:
+    """Range-partition + local sort + per-physical-partition row_number.
+    Split out so plan tests can assert the window is keyed by ``pid``
+    (never a bare single-reducer ``ORDER BY id`` window) on the
+    un-cached plan."""
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(n_parts, "id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("id")
+    return part.select("id", "pid", F.row_number().over(w).alias("lr"))
+
+
+def _global_rank(df: DataFrame, n_parts: int = 32) -> DataFrame:
     """id → dense 0-based rank in global sorted order, distributed.
 
     A bare ``row_number() OVER (ORDER BY id)`` funnels the whole table
@@ -150,19 +162,15 @@ def _global_rank(
     zipWithIndex does). The (id → idx) mapping is global sorted rank,
     so it is deterministic regardless of where range boundaries fall.
 
-    materialize=True persists + counts the RESULT and unpersists the
-    local-rank intermediate before returning, so repeated invocations
-    in a long session don't accumulate pinned storage (the returned
-    frame is the one thing callers keep; route it through a keyed
-    session cache like _ranked_universe does).
-    """
-    part = df.repartitionByRange(n_parts, "id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("pid").orderBy("id")
-    local = part.select("id", "pid", F.row_number().over(w).alias("lr")).persist()
+    The RESULT is always persisted + counted and the local-rank
+    intermediate unpersisted before returning: the per-partition
+    offsets were collected from one physical execution of the ranking,
+    so the result must be pinned while ``local`` is hot (a recompute
+    could draw different range boundaries and mismatch the offsets),
+    and nothing else may stay pinned per invocation. Callers keep the
+    returned frame (route it through a keyed session cache like
+    _ranked_universe) and own its unpersist."""
+    local = _local_ranks(df, n_parts).persist()
     counts = {
         r["pid"]: r["c"]
         for r in local.groupBy("pid").agg(F.count("*").alias("c")).collect()
@@ -177,17 +185,17 @@ def _global_rank(
             [(p, o) for p, o in offsets.items()], "pid int, off long"
         )
     )
-    out = local.join(off_df, "pid").select(
-        "id", (F.col("off") + F.col("lr") - 1).alias("idx")
+    out = (
+        local.join(off_df, "pid")
+        .select("id", (F.col("off") + F.col("lr") - 1).alias("idx"))
+        .persist()
     )
-    if materialize:
-        out = out.persist()
-        out.count()  # fill the result cache while `local` is still hot
-        local.unpersist(False)
+    out.count()  # fill the result cache while `local` is still hot
+    local.unpersist(False)
     return out
 
 
-_UNIV_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+_UNIV_CACHE: dict[tuple, tuple[DataFrame, int]] = register_session_cache({})
 
 
 def _ranked_universe(
@@ -211,7 +219,7 @@ def _ranked_universe(
             .unionAll(edges.select(F.col("object").alias("id")))
             .distinct()
         )
-        univ = _global_rank(universe, materialize=True)
+        univ = _global_rank(universe)
         _UNIV_CACHE[key] = (univ, univ.count())
     return _UNIV_CACHE[key]
 

@@ -25,7 +25,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.corpus import read_table, table_source_key
+from ..sources.corpus import read_table, register_session_cache, table_source_key
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -218,7 +218,7 @@ def make_pair_cos_udf():
     return pair_cos
 
 
-_NEARDUP_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_NEARDUP_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = register_session_cache({})
 
 
 def _neardup_frames(
@@ -313,7 +313,7 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_CLUSTER_ROUNDS = 3
 
 
-_EMB_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
+_EMB_CLUSTER_CACHE: dict[tuple, DataFrame] = register_session_cache({})
 
 
 def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

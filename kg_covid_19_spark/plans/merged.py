@@ -12,11 +12,11 @@ from pyspark.sql import functions as F
 
 from ..dictionaries import merged_cte_sql
 from ..operators.merge import graph_stats, merge_edges, merge_nodes, salted_node_fusion
-from ..sources.corpus import table_source_key
+from ..sources.corpus import register_session_cache, table_source_key
 from ..sources.ontology import ontology_edges, ontology_nodes
 from .pipeline import get_kg
 
-_MERGED_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_MERGED_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = register_session_cache({})
 
 
 def get_merged(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

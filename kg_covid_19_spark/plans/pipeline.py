@@ -37,7 +37,12 @@ from ..dictionaries import (
 )
 from ..functions.text import extracted_text
 from ..operators.mentions import make_curie_udf
-from ..sources.corpus import read_table, table_source_key, web_pages
+from ..sources.corpus import (
+    read_table,
+    register_session_cache,
+    table_source_key,
+    web_pages,
+)
 
 
 def pages_with_mentions(spark: SparkSession, sf_dir: str,
@@ -219,9 +224,9 @@ def build_kg(spark: SparkSession, sf_dir: str,
 # output table of the merge stage; locally it is a persisted DataFrame.
 # ---------------------------------------------------------------------------
 
-_KG_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
-_MENTION_CACHE: dict[tuple, DataFrame] = {}
-_ARRAY_CACHE: dict[tuple, DataFrame] = {}
+_KG_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = register_session_cache({})
+_MENTION_CACHE: dict[tuple, DataFrame] = register_session_cache({})
+_ARRAY_CACHE: dict[tuple, DataFrame] = register_session_cache({})
 
 
 def pair_expand(curies) -> "F.Column":  # type: ignore[name-defined]

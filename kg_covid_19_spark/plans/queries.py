@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dictionaries import kg_cte_sql, normalized_gazetteer
-from ..sources.corpus import read_table, table_source_key
+from ..sources.corpus import read_table, register_session_cache, table_source_key
 from .pipeline import (
     get_kg,
     get_mention_arrays,
@@ -82,7 +82,7 @@ def _undirected(cooc: DataFrame) -> DataFrame:
     )
 
 
-_DEG_CACHE: dict[tuple, DataFrame] = {}
+_DEG_CACHE: dict[tuple, DataFrame] = register_session_cache({})
 
 
 def _cooc_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,7 +556,7 @@ BFS_ROUNDS = 3
 # in one application must use fresh processes per iteration (as
 # tools/scaling.py does) or its iterative-query timings measure a
 # dict lookup.
-_ITER_CACHE: dict[tuple, DataFrame] = {}
+_ITER_CACHE: dict[tuple, DataFrame] = register_session_cache({})
 
 
 def kg_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +807,26 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ITER_CACHE[key]
 
 
+def _rank_update_expr(s_col: str = "s") -> str:
+    """The damped rank update ``base + (damp * s) div ppm`` with the
+    multiply WIDENED to DECIMAL(38,0): in int64 ``PR_DAMP_PPM * s``
+    overflows once the summed in-mass ``s`` exceeds ~1.08e13 ppm — a
+    single hub with ~10⁷ full-rank in-neighbors (the star-graph ceiling
+    SCALE.md used to document). Decimal(38,0) holds ~1e38, so the
+    ceiling moves past any real web graph; every other quantity (ranks,
+    contributions, message sums) is bounded by total mass ≈ |V|·1e6 and
+    stays in int64 to ~9e12 vertices. All values are non-negative, so
+    ``floor(a / 1e6)`` here ≡ DuckDB's ``//`` on HUGEINT in the oracle —
+    the update stays integer-exact and engine-identical (the division
+    by 10^6 is exact at decimal scale 6; floor then truncates
+    identically in both engines)."""
+    return (
+        f"CAST({PR_BASE_PPM} + CAST(floor("
+        f"(CAST({PR_DAMP_PPM} AS DECIMAL(38,0)) * coalesce({s_col}, 0L))"
+        f" / {_PPM}) AS BIGINT) AS LONG)"
+    )
+
+
 def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity importance over the co-occurrence graph: PR_ITERS rounds
     of damped degree-normalized message passing (PageRank power
@@ -820,9 +840,10 @@ def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (ranks ⋈ degrees), one message groupBy (partial-agg friendly),
     and one left join back to the node set — the canonical distributed
     PageRank shape; production runs would checkpoint ranks per round to
-    cut lineage, and switch the fixed-point scale down if |V|·ppm·damp
-    approaches the int64 ceiling (~10^7 vertices at these constants in
-    the worst star-graph case; scaled constants buy web-scale)."""
+    cut lineage. The damp multiply is widened to DECIMAL(38,0)
+    (_rank_update_expr) so the former ~10^7-vertex star-graph int64
+    ceiling cannot occur; remaining int64 quantities are bounded by
+    total mass ≈ |V|·1e6 (safe to ~9e12 vertices)."""
     _, edges = get_kg(spark, sf_dir)
     und = _undirected(
         edges.filter(F.col("predicate") == "biolink:correlated_with")
@@ -849,13 +870,7 @@ def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = (
             deg.select("id")
             .join(msgs, F.col("id") == F.col("mid"), "left")
-            .select(
-                "id",
-                F.expr(
-                    f"CAST({PR_BASE_PPM} + "
-                    f"({PR_DAMP_PPM} * coalesce(s, 0L)) div {_PPM} AS LONG)"
-                ).alias("r"),
-            )
+            .select("id", F.expr(_rank_update_expr("s")).alias("r"))
             .persist()
         )
         # materialize this round, then release the superseded one —

@@ -36,6 +36,49 @@ def table_source_key(spark: SparkSession, sf_dir: str) -> tuple:
     return (spark.sparkContext.applicationId, catalog, sf_dir)
 
 
+#: every session-level cache dict keyed by table_source_key (possibly with
+#: extra suffix components) registers itself here so a table REWRITE in the
+#: same session can evict the now-stale persisted frames instead of serving
+#: them for the application lifetime. TableProvider.write calls
+#: invalidate_session_caches after every successful write.
+_SESSION_CACHES: list[dict] = []
+
+
+def register_session_cache(cache: dict) -> dict:
+    """Declare ``cache`` (a dict whose keys start with table_source_key's
+    (applicationId, catalog, sf_dir) triple) as derived from driver
+    tables; returns it for inline use at module scope."""
+    _SESSION_CACHES.append(cache)
+    return cache
+
+
+def _unpersist_value(val) -> None:
+    if isinstance(val, DataFrame):
+        try:
+            val.unpersist(False)
+        except Exception:
+            pass
+    elif isinstance(val, tuple):
+        for v in val:
+            _unpersist_value(v)
+
+
+def invalidate_session_caches(spark: SparkSession) -> int:
+    """Evict (and unpersist) every registered cache entry belonging to
+    this application. Called by TableProvider.write; conservative
+    (all sources, all sf_dirs for the app) because a catalog-mode write
+    changes what any read_table resolution may return and writes are
+    rare relative to reads. Returns the number of evicted entries."""
+    app = spark.sparkContext.applicationId
+    n = 0
+    for cache in _SESSION_CACHES:
+        for key in list(cache):
+            if isinstance(key, tuple) and key and key[0] == app:
+                _unpersist_value(cache.pop(key))
+                n += 1
+    return n
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver table through the provider seam (sources/provider):
     an explicit ``iceberg:<catalog.table>`` name or a session-configured

@@ -134,23 +134,52 @@ class TableProvider:
                 # the previous table is still intact; only a fully
                 # written staging table replaces it.
                 staging = f"{name}__staging"
-                self.spark.sql(
-                    f"DROP TABLE IF EXISTS {self.qualified(staging)}"
-                )
-                self._drop_orphan_location(staging)
+                old = f"{name}__old"
+                for leftover in (staging, old):
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS {self.qualified(leftover)}"
+                    )
+                    self._drop_orphan_location(leftover)
                 ws = df.writeTo(self.qualified(staging)).using(fmt)
                 if partition_by:
                     ws = ws.partitionedBy(
                         *[F.col(c) for c in partition_by]
                     )
                 ws.create()
-                self.spark.sql(
-                    f"DROP TABLE IF EXISTS {self.qualified(name)}"
+                # Swap: rename the live table ASIDE first — never DROP
+                # it while it is the only copy. A crash between the two
+                # renames leaves the previous data recoverable under
+                # the predictable <name>__old, and the readers-see-no-
+                # table window shrinks to the instant between
+                # rename-out and rename-in.
+                had_live = self.spark.catalog.tableExists(
+                    self.qualified(name)
                 )
+                if had_live:
+                    self.spark.sql(
+                        f"ALTER TABLE {self.qualified(name)} "
+                        f"RENAME TO {self.namespace}.{old}"
+                    )
+                    if partition_by:
+                        # the rename moved the data dir but the old
+                        # table's partition entries still point at the
+                        # ORIGINAL location — which the staging rename
+                        # is about to reoccupy. Re-sync them to the
+                        # moved location NOW, or the later DROP of
+                        # __old follows the stale partition paths and
+                        # deletes the freshly swapped-in data.
+                        self.spark.sql(
+                            f"MSCK REPAIR TABLE {self.qualified(old)} "
+                            f"SYNC PARTITIONS"
+                        )
                 self.spark.sql(
                     f"ALTER TABLE {self.qualified(staging)} "
                     f"RENAME TO {self.namespace}.{name}"
                 )
+                if had_live:
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS {self.qualified(old)}"
+                    )
                 if partition_by:
                     # the rename moves the managed location but the
                     # catalog's partition entries still point at the
@@ -167,3 +196,10 @@ class TableProvider:
                 .partitionBy(*partition_by)
                 .parquet(self.location(name))
             )
+        # A rewrite makes every session-cached frame derived from driver
+        # tables potentially stale (persisted shingles, merged KG,
+        # degrees, iteration results all read through this seam) — evict
+        # them so the next access rebuilds from the new data.
+        from .corpus import invalidate_session_caches
+
+        invalidate_session_caches(self.spark)

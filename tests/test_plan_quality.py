@@ -183,17 +183,21 @@ def test_global_rank_has_no_single_partition_window(spark):
     """_global_rank (fullscale negatives) must never plan a bare
     row_number over an unpartitioned window: its local ranks are keyed
     by the physical-partition column."""
-    from kg_covid_19_spark.operators.holdouts import _global_rank
+    from kg_covid_19_spark.operators.holdouts import _global_rank, _local_ranks
 
     df = spark.createDataFrame([(f"id{i:03d}",) for i in range(100)],
                                "id string")
-    ranked = _global_rank(df, n_parts=8)
-    plan = _executed_plan(ranked)
+    # plan shape on the un-cached ranking stage (_global_rank itself
+    # returns a persisted frame, whose executed plan is the cache scan)
+    plan = _executed_plan(_local_ranks(df, 8))
+    assert re.search(r"\bWindow\b", plan), plan
     for line in plan.splitlines():
         if re.search(r"\bWindow\b", line):
             assert "pid" in line, line
     # and the mapping is the true global sorted rank
+    ranked = _global_rank(df, n_parts=8)
     got = {r["id"]: r["idx"] for r in ranked.collect()}
+    ranked.unpersist()
     assert got == {f"id{i:03d}": i for i in range(100)}
 
 

@@ -412,3 +412,40 @@ def test_deletion_keys_expr_matches_python(spark):
     }
     for w in words:
         assert got[w] == _py_del_keys(w), w
+
+
+# -- PageRank rank-update arithmetic (plans/queries._rank_update_expr) ----
+
+@given(
+    s=st.one_of(
+        st.integers(min_value=0, max_value=10**7),
+        # the planted overflow regime: in-mass around and far past the old
+        # int64 ceiling (~1.08e13 = 10^7 full-rank in-neighbors on one hub),
+        # up to a 10^12-vertex star — PR_DAMP_PPM * s here would overflow
+        # int64 by 5 orders of magnitude without the DECIMAL(38,0) widening
+        st.integers(min_value=10**13, max_value=10**18),
+    )
+)
+@SET
+def test_rank_update_expr_exact_past_int64_ceiling(spark, s):
+    from kg_covid_19_spark.plans.queries import (
+        PR_BASE_PPM,
+        PR_DAMP_PPM,
+        _PPM,
+        _rank_update_expr,
+    )
+
+    got = (
+        spark.createDataFrame([(s,)], "s long")
+        .select(F.expr(_rank_update_expr("s")).alias("r"))
+        .collect()[0]["r"]
+    )
+    # Python ints are arbitrary precision: the exact fixed-point update
+    assert got == PR_BASE_PPM + (PR_DAMP_PPM * s) // _PPM
+    # and NULL in-mass (no messages) degrades to the base rank
+    got_null = (
+        spark.createDataFrame([(None,)], "s long")
+        .select(F.expr(_rank_update_expr("s")).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert got_null == PR_BASE_PPM

@@ -108,3 +108,47 @@ def test_catalog_write_failure_preserves_existing_table(spark, pages):
         assert prov.read("prov_keep").count() == 20
     finally:
         spark.sql("DROP TABLE IF EXISTS spark_catalog.default.prov_keep")
+
+
+def test_catalog_rewrite_swaps_and_leaves_no_auxiliary_tables(spark, pages):
+    """Overwriting an EXISTING catalog table goes through the
+    rename-aside swap (old -> __old, staging -> name, drop __old): the
+    new data is served afterwards and neither auxiliary table lingers."""
+    spark.sql("DROP TABLE IF EXISTS spark_catalog.default.prov_swap")
+    prov = TableProvider(spark, root="/unused", catalog="spark_catalog")
+    prov.write(pages, "prov_swap", partition_by=("lang",))
+    try:
+        prov.write(pages.limit(7), "prov_swap", partition_by=("lang",))
+        assert prov.read("prov_swap").count() == 7
+        existing = {
+            t.name for t in spark.catalog.listTables("default")
+        }
+        assert "prov_swap__staging" not in existing
+        assert "prov_swap__old" not in existing
+    finally:
+        for t in ("prov_swap", "prov_swap__staging", "prov_swap__old"):
+            spark.sql(f"DROP TABLE IF EXISTS spark_catalog.default.{t}")
+
+
+def test_write_invalidates_session_caches(spark, tmp_path, pages):
+    """A provider write evicts (and unpersists) registered session-cache
+    entries for this application — stale persisted frames must not be
+    served after an in-session table rewrite (ADVICE r3)."""
+    from kg_covid_19_spark.sources.corpus import (
+        register_session_cache,
+        table_source_key,
+    )
+
+    cache = register_session_cache({})
+    frame = pages.persist()
+    frame.count()
+    cache[table_source_key(spark, str(tmp_path))] = frame
+    other_app = ("not-this-app", "", str(tmp_path))
+    cache[other_app] = "kept"
+
+    prov = TableProvider(spark, str(tmp_path))
+    prov.write(pages, "inval_probe")
+
+    assert table_source_key(spark, str(tmp_path)) not in cache
+    assert frame.storageLevel.useMemory is False  # unpersisted
+    assert cache[other_app] == "kept"  # other applications untouched

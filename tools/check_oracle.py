@@ -107,7 +107,12 @@ def main() -> int:
             if ft.startswith("decimal") and "decimal" not in name:
                 print(f"      WARN {name}.{field.name}: oracle emits {ft} — "
                       f"cast to BIGINT/DOUBLE for a driver-stable hash")
-        orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
+        # Positional rebuild (not to_pylist() dicts): a dict keyed by column
+        # name would silently collapse duplicate column names and compare
+        # against corrupted rows; columns-wise zip preserves positions and
+        # an explicit assert fails loudly if an oracle ever emits dupes.
+        assert len(set(ocols)) == len(ocols), f"{name}: duplicate oracle columns {ocols}"
+        orows = list(zip(*(c.to_pylist() for c in tbl.columns))) if ocols else []
         duck_t = time.time() - t0
         ok_count = len(rows) == len(orows)
         ok_schema = sorted(cols) == sorted(ocols)

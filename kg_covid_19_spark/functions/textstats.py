@@ -324,6 +324,78 @@ def txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MG_CAPACITY = 4096  # per-partition Misra-Gries counter budget
+
+
+def _mg_kernel(capacity: int):
+    """mapInPandas kernel factory: per-partition Misra-Gries
+    heavy-hitter summary with a HARD cap of ``capacity`` counters.
+
+    Each Arrow batch is counted vectorized (pandas value_counts — no
+    per-row Python) and merged into the partition accumulator; whenever
+    the accumulator exceeds the cap, the classic Misra-Gries reduction
+    subtracts the (capacity+1)-th largest count from every counter and
+    drops the non-positive ones. Counts become LOWER bounds with total
+    undercount ≤ n_partition/(capacity+1) — the mergeable-summaries
+    guarantee — and partition state is O(capacity) regardless of
+    vocabulary size, which is the whole point at 100 TB."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > capacity:
+                thresh = acc.nlargest(capacity + 1).iloc[-1]
+                acc = (acc - thresh).astype("int64")
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame(
+                {"token": acc.index.astype(str), "n_lb": acc.to_numpy("int64")}
+            )
+
+    return kernel
+
+
+def _top_tokens_approx_frame(
+    toks: DataFrame, capacity: int, k: int
+) -> DataFrame:
+    summaries = toks.mapInPandas(
+        _mg_kernel(capacity), "token string, n_lb long"
+    )
+    return (
+        summaries.groupBy("token")
+        .agg(F.sum("n_lb").alias("n_est"))
+        .orderBy(F.desc("n_est"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def txt_top_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state twin of txt_top_tokens — the sketch path its scale
+    note promises, as code rather than prose. Per-partition Misra-Gries
+    summaries (≤MG_CAPACITY counters each, vectorized batch merge) ship
+    ≤ capacity·partitions rows to one vocabulary-keyed groupBy; the
+    final top-K is a TakeOrdered. Estimated counts are lower bounds
+    with total undercount ≤ corpus_tokens/(MG_CAPACITY+1), so every
+    token with frequency above that bound is guaranteed to surface.
+
+    No DuckDB oracle on purpose (the txt_len_deciles_approx contract):
+    summary contents depend on partition boundaries, so a cross-engine
+    value hash can't gate it — the driver records the weaker rows-only
+    check, and the accuracy contract is pinned by
+    test_top_tokens_approx_* (exact equality when the capacity covers
+    the per-partition vocabulary; the Misra-Gries undercount bracket on
+    a planted skewed stream when it doesn't)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return _top_tokens_approx_frame(toks, MG_CAPACITY, TOP_K_TOKENS)
+
+
 BPE_TOP_K = 30
 
 
@@ -542,6 +614,7 @@ TEXTSTATS_QUERIES = {
     "txt_len_deciles": txt_len_deciles,
     "txt_len_deciles_approx": txt_len_deciles_approx,
     "txt_top_tokens": txt_top_tokens,
+    "txt_top_tokens_approx": txt_top_tokens_approx,
     "txt_bpe_pairs": txt_bpe_pairs,
     "txt_lang_confusion": txt_lang_confusion,
     "txt_rarity": txt_rarity,

@@ -10,11 +10,13 @@ coronavirus→taxon table (zhou_transform.py:60-70, 96-137).
 
 Split exactly like the reference splits it:
 
-* **decode** — `read_pdf_tables` is the tabula call. The PDF
-  libraries are not in this container, so it is a clearly-marked stub
-  (NotImplementedError) mirroring `operators/multimodal.py`'s decode
-  gating; the Spark-side plumbing takes any DataFrame with the table's
-  four columns.
+* **decode** — `read_pdf_tables` is the tabula call. Tabula is used
+  when importable; otherwise a pure-Python text-layer extractor
+  (content streams → BT/ET rows, stdlib zlib for /FlateDecode) makes
+  the branch runnable on a real PDF byte string without any PDF
+  library. Only scanned PDFs with no text layer remain behind the
+  explicit NotImplementedError seam (they need OCR); the Spark-side
+  plumbing takes any DataFrame with the table's four columns.
 * **transform** — `zhou_transform(spark, rows_df)`: pure column
   algebra over those rows, including the reference's behavior of
   raising on an unknown coronavirus (implemented as a raise-on-collect
@@ -97,19 +99,136 @@ def read_table_sidecar(spark: SparkSession, json_path: str) -> DataFrame:
     )
 
 
+_PDF_STRING = rb"\((?:[^()\\]|\\.)*\)"
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    """PDF literal-string body → text: \\( \\) \\\\ \\n \\r \\t and
+    3-digit octal escapes (the subset simple text layers use)."""
+    out, i = [], 0
+    esc = {b"n": "\n", b"r": "\r", b"t": "\t", b"(": "(", b")": ")",
+           b"\\": "\\"}
+    while i < len(raw):
+        c = raw[i:i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, len(raw)) and raw[j:j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(raw[i + 1:j], 8)))
+                i = j
+                continue
+            out.append(esc.get(nxt, nxt.decode("latin-1")))
+            i += 2
+            continue
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def _pdf_content_streams(pdf: bytes) -> list[bytes]:
+    """All stream objects in document order, inflated when the object
+    dictionary declares /FlateDecode. For the simple one-content-
+    stream-per-page PDFs this fallback targets, stream order IS page
+    order (documented approximation vs a full page-tree walk)."""
+    import re as _re
+    import zlib
+
+    streams = []
+    for m in _re.finditer(rb"stream\r?\n", pdf):
+        end = pdf.find(b"endstream", m.end())
+        if end < 0:
+            continue
+        body = pdf[m.end():end].rstrip(b"\r\n")
+        head = pdf[max(0, m.start() - 400):m.start()]
+        if b"/FlateDecode" in head.rsplit(b"<<", 1)[-1]:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        streams.append(body)
+    return streams
+
+
+def _pdf_text_rows(stream: bytes) -> list[list[str]]:
+    """Content stream → text rows. Inside each BT…ET block, every line
+    move (Td/TD/T*) starts a new row; each show-text op contributes one
+    CELL — `(…) Tj` as-is, `[…] TJ` with its kerned fragments joined.
+    That is exactly how a text-layer table lays out: one positioning op
+    per row, one text run per cell."""
+    import re as _re
+
+    tok = _re.compile(
+        rb"(?P<str>" + _PDF_STRING + rb")\s*Tj"
+        rb"|\[(?P<arr>(?:" + _PDF_STRING + rb"|[^\]])*)\]\s*TJ"
+        rb"|(?P<nl>(?:[-\d.]+\s+[-\d.]+\s+(?:Td|TD))|T\*|BT)"
+    )
+    rows: list[list[str]] = []
+    cur: list[str] | None = None
+    for m in tok.finditer(stream):
+        if m.group("nl") is not None:
+            if cur:
+                rows.append(cur)
+            cur = []
+        elif m.group("str") is not None:
+            (cur := [] if cur is None else cur).append(
+                _pdf_unescape(m.group("str")[1:-1])
+            )
+        else:
+            frags = _re.findall(_PDF_STRING, m.group("arr"))
+            (cur := [] if cur is None else cur).append(
+                "".join(_pdf_unescape(f[1:-1]) for f in frags)
+            )
+    if cur:
+        rows.append(cur)
+    return rows
+
+
 def read_pdf_tables(spark: SparkSession, pdf_path: str,
                     pages: tuple[int, ...] = (5, 6, 7)) -> DataFrame:
     """tabula.io.read_pdf equivalent (zhou_transform.py:81-85).
 
-    STUB: PDF table extraction needs tabula/jpype, which this
-    environment does not ship. The real implementation is a
-    binaryFile scan + mapInPandas decode (same plumbing as
-    operators/multimodal.py); until then callers pass the extracted
-    rows directly to `zhou_transform`.
-    """
-    raise NotImplementedError(
-        "PDF table extraction requires tabula; pass the extracted rows "
-        "to zhou_transform(spark, rows_df) instead"
+    Preferred branch is tabula when importable (full geometric table
+    detection). Without it — this container — a pure-Python text-layer
+    extractor runs: content streams are located (FlateDecode inflated
+    via stdlib zlib), each selected page's BT/ET text rows become table
+    rows, and the reference's header semantics apply exactly as in the
+    sidecar reader (first row of the first selected page is the header,
+    every other row zips against it with ragged-row truncation,
+    utils/transform_utils.py:28-68). A PDF with no extractable text
+    layer (scanned images) still raises NotImplementedError — that
+    genuinely needs OCR this environment does not ship."""
+    try:
+        import tabula  # type: ignore
+
+        pdf_rows = None
+    except ImportError:
+        with open(pdf_path, "rb") as fh:
+            pdf = fh.read()
+        streams = _pdf_content_streams(pdf)
+        pdf_rows = []
+        for pg in pages:
+            if 0 < pg <= len(streams):
+                pdf_rows.extend(_pdf_text_rows(streams[pg - 1]))
+        if not pdf_rows:
+            raise NotImplementedError(
+                f"no text layer on pages {pages} of {pdf_path} — "
+                "scanned PDFs need tabula/OCR; pass extracted rows to "
+                "zhou_transform(spark, rows_df) instead"
+            )
+    if pdf_rows is None:
+        dfs = tabula.read_pdf(pdf_path, pages=list(pages),
+                              multiple_tables=True)
+        pdf_rows = [list(df.columns) for df in dfs[:1]]
+        for df in dfs:
+            pdf_rows.extend([str(v) for v in row] for row in df.values)
+    header, data = pdf_rows[0], pdf_rows[1:]
+    fitted = [
+        tuple((row + [None] * len(header))[: len(header)]) for row in data
+    ]
+    return spark.createDataFrame(
+        fitted, ", ".join(f"`{c}` string" for c in header)
     )
 
 

@@ -114,9 +114,9 @@ def stream_dedup_hashes(
     partition-order dependent, so only the hash column is emitted.
     State note at 100 TB: unbounded dropDuplicates state is the honest
     cost of corpus-lifetime dedup (it is the seen-set, sharded across
-    executors by the state store); bound it with
-    dropDuplicatesWithinWatermark only when near-duplicate arrivals are
-    known to cluster in time."""
+    executors by the state store); when near-duplicate arrivals are
+    known to cluster in time, use stream_dedup_hashes_watermarked —
+    the bounded-state sibling below."""
     schema = spark.read.parquet(docs_dir).schema
     docs = (
         spark.readStream.schema(schema)
@@ -137,3 +137,56 @@ def stream_dedup_hashes(
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(out_dir)
+
+
+def stream_dedup_hashes_watermarked(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    ts_col: str = "event_ts",
+    delay: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+    query_name: str = "doc_dedup_stream_wm",
+) -> tuple[DataFrame, list[int]]:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keyed on md5(text), state evicted once the event-time watermark
+    passes first_seen(ts) + delay.
+
+    The trade vs stream_dedup_hashes is explicit: duplicates arriving
+    WITHIN the watermark window are dropped exactly like the unbounded
+    path, but a re-arrival after the window re-emits the hash — state
+    is O(keys active within the window), not the corpus seen-set, which
+    is the only honest shape when the stream runs for months at 100 TB
+    and near-duplicate arrivals are known to cluster in time (SCALE.md
+    "Scalar ceilings"). Returns the accumulated output AND the state
+    operator's per-batch numRowsTotal so callers (and the boundedness
+    test) can observe eviction actually happening."""
+    schema = spark.read.parquet(docs_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    hashes = (
+        docs.select(F.md5("text").alias("text_hash"), F.col(ts_col))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("text_hash")
+    )
+    q = (
+        hashes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    ]
+    q.stop()
+    return spark.read.parquet(out_dir), state_rows

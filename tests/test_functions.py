@@ -144,3 +144,46 @@ def test_approx_user_counts_within_tolerance(spark):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(3, 0.06 * n), (et, approx[et], n)
+
+
+def test_top_tokens_approx_equals_exact_when_capacity_suffices(spark):
+    """With MG_CAPACITY above every partition's vocabulary the
+    Misra-Gries reduction never fires, counts stay exact, and the
+    approx twin must equal txt_top_tokens row-for-row — the strong
+    half of the accuracy contract that replaces the value-hash oracle
+    a partition-dependent summary can't have."""
+    from conftest import SF_DIR
+
+    from kg_covid_19_spark.functions.textstats import (
+        txt_top_tokens,
+        txt_top_tokens_approx,
+    )
+
+    exact = [(r.token, r.n) for r in txt_top_tokens(spark, SF_DIR).collect()]
+    approx = [
+        (r.token, r.n_est)
+        for r in txt_top_tokens_approx(spark, SF_DIR).collect()
+    ]
+    assert approx == exact
+
+
+def test_top_tokens_approx_misra_gries_undercount_bracket(spark):
+    """Planted skewed stream with a capacity far below the vocabulary:
+    the heavy hitter must surface with a LOWER-bound count within the
+    Misra-Gries undercount guarantee N/(capacity+1), and never an
+    overcount."""
+    from kg_covid_19_spark.functions.textstats import (
+        _top_tokens_approx_frame,
+    )
+
+    n_hh, n_noise, cap = 1000, 2000, 16
+    rows = [("hh",)] * n_hh + [(f"noise{i:05d}",) for i in range(n_noise)]
+    toks = spark.createDataFrame(rows, "token string").repartition(4)
+    got = {
+        r.token: r.n_est
+        for r in _top_tokens_approx_frame(toks, cap, 5).collect()
+    }
+    n_total = n_hh + n_noise
+    assert "hh" in got
+    assert got["hh"] <= n_hh  # lower bound: never overcounts
+    assert got["hh"] >= n_hh - n_total // (cap + 1), got["hh"]

@@ -130,3 +130,64 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     got = {(r["click_id"], r["view_id"]) for r in streamed.collect()}
     assert got == batch
+
+
+def test_stream_dedup_watermarked_bounds_state_and_drops_within_window(
+    spark, tmp_path
+):
+    """dropDuplicatesWithinWatermark contract, observed end-to-end:
+    a duplicate arriving WITHIN the watermark window is dropped; once
+    the watermark passes first_seen + delay the key's state is evicted,
+    so (a) a later re-arrival re-emits and (b) the state store never
+    holds the full seen-set."""
+    import datetime as dt
+    import os as _os
+
+    from kg_covid_19_spark.streaming.kg_stream import (
+        stream_dedup_hashes_watermarked,
+    )
+
+    incoming = str(tmp_path / "incoming_wm")
+    _os.makedirs(incoming)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    batches = [
+        [(1, "alpha", t(10, 0)), (2, "beta", t(10, 1))],
+        [(3, "alpha", t(10, 5))],   # within 30-min window → dropped
+        [(4, "gamma", t(12, 0))],   # advances the watermark to 11:30
+        [(5, "delta", t(12, 1))],   # batch where eviction lands (alpha/beta)
+        [(6, "alpha", t(12, 5))],   # state evicted → re-emitted
+    ]
+    for i, rows in enumerate(batches):
+        staged = str(tmp_path / f"stage_wm_{i}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, event_ts timestamp"
+        ).coalesce(1).write.parquet(staged)
+        part = next(
+            n for n in _os.listdir(staged) if n.endswith(".parquet")
+        )
+        dst = f"{incoming}/b{i}.parquet"
+        shutil.copy(f"{staged}/{part}", dst)
+        # file source processes oldest-mtime first; pin the order
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out, state_rows = stream_dedup_hashes_watermarked(
+        spark,
+        incoming,
+        str(tmp_path / "ckpt_wm"),
+        str(tmp_path / "out_wm"),
+    )
+    from collections import Counter
+
+    md5 = lambda s: __import__("hashlib").md5(s.encode()).hexdigest()
+    got = Counter(r["text_hash"] for r in out.collect())
+    assert got[md5("beta")] == 1
+    assert got[md5("gamma")] == 1
+    assert got[md5("delta")] == 1
+    assert got[md5("alpha")] == 2  # dropped within window, re-emitted after
+    # boundedness: 4 distinct contents were seen but the state store
+    # shrank back to 2 keys when the watermark passed alpha+beta, and
+    # never ends holding the full seen-set (unbounded dropDuplicates
+    # would sit at 4)
+    assert state_rows, "no state operator metrics captured"
+    assert min(state_rows[2:]) <= 2, state_rows
+    assert state_rows[-1] < 4, state_rows

@@ -52,9 +52,61 @@ def test_zhou_unknown_coronavirus_raises(spark):
         nodes.collect()
 
 
-def test_pdf_decode_is_stubbed(spark):
+def _tiny_pdf() -> bytes:
+    """A real (tiny) two-page PDF with text-layer content streams:
+    page 1 header+row uncompressed, page 2 row FlateDecode-compressed
+    and using TJ kerned fragments + an octal escape — the op subset the
+    fallback extractor documents."""
+    import zlib
+
+    c1 = (b"BT /F1 10 Tf\n"
+          b"0 760 Td (Coronavirus) Tj (Host Gene ID) Tj "
+          b"(Host Protein) Tj (PubMed ID) Tj\n"
+          b"0 -20 Td (SARS) Tj (1234) Tj (TBX4) Tj (32296183) Tj\n"
+          b"ET")
+    c2_raw = (b"BT 0 760 Td [(ME) (RS)] TJ (999) Tj "
+              b"[(AC) (E\062)] TJ (32296183) Tj ET")
+    c2 = zlib.compress(c2_raw)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj",
+        b"4 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj",
+        b"5 0 obj << /Length %d >> stream\n%s\nendstream endobj"
+        % (len(c1), c1),
+        b"6 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj"
+        % (len(c2), c2),
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+
+
+def test_pdf_fallback_extracts_table_end_to_end(spark, tmp_path):
+    """Without tabula the pure-Python text-layer branch must carry a
+    real PDF byte string all the way through zhou_transform."""
+    pdf_path = str(tmp_path / "zhou.pdf")
+    with open(pdf_path, "wb") as fh:
+        fh.write(_tiny_pdf())
+    rows = read_pdf_tables(spark, pdf_path, pages=(1, 2))
+    assert rows.columns == TABLE_COLUMNS
+    assert sorted(tuple(r) for r in rows.collect()) == [
+        ("MERS", "999", "ACE2", "32296183"),
+        ("SARS", "1234", "TBX4", "32296183"),
+    ]
+    nodes, edges = zhou_transform(spark, rows)
+    assert edges.count() == 2
+    assert {r["object"] for r in edges.collect()} == {
+        "NCBITaxon:227859", "NCBITaxon:1335626",
+    }
+
+
+def test_pdf_without_text_layer_still_raises(spark, tmp_path):
+    """Scanned-image PDFs (no BT/ET text ops) stay behind the explicit
+    NotImplementedError seam — that path genuinely needs OCR."""
+    pdf_path = str(tmp_path / "scanned.pdf")
+    with open(pdf_path, "wb") as fh:
+        fh.write(b"%PDF-1.4\n1 0 obj << >> endobj\n%%EOF\n")
     with pytest.raises(NotImplementedError):
-        read_pdf_tables(spark, "/nonexistent.pdf")
+        read_pdf_tables(spark, pdf_path)
 
 
 def _cells(*texts):

@@ -110,6 +110,159 @@ def _calibrate(spark) -> dict:
     }
 
 
+def _scale_slices(spark) -> dict:
+    """Design-point slices for the two deliberate r3 plan trades — the
+    production plans must WIN here, turning the scale argument into
+    measured numbers (VERDICT r3 item 4).
+
+    * Planted-hub triangle slice: star hub (degree HUB_DEG) + leaf ring.
+      Under id-ordering the hub (lowest id) generates C(HUB_DEG, 2)
+      wedge rows; under the production degree-ordering the hub only
+      ever closes wedges. Same triangle output (asserted in
+      tests/test_scale_stress.py), wildly different intermediates.
+    * 5k-surface dictionary slice: blocked SymSpell equi-join linking
+      vs the pre-r3 broadcast nested-loop with a levenshtein predicate,
+      on identical (vocab, dictionary) inputs.
+    """
+    from kg_covid_19_spark.plans.queries import (
+        LINK_MAX_DIST,
+        score_linked_tokens,
+        triangle_counts_frame,
+    )
+
+    out: dict[str, float] = {}
+
+    # -- planted-hub triangles -----------------------------------------
+    HUB_DEG = 6000
+    hub = spark.range(1, HUB_DEG + 1).select(
+        F.lit(0).alias("subject"), F.col("id").alias("object")
+    )
+    ring = spark.range(1, HUB_DEG).select(
+        F.col("id").alias("subject"), (F.col("id") + 1).alias("object")
+    )
+    e = hub.unionAll(ring).persist()
+    deg = (
+        e.select(F.col("subject").alias("id"))
+        .unionAll(e.select(F.col("object").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    e.count(), deg.count()  # exclude input materialization from timings
+    for label, ordered in (
+        ("tri_skew_degree_ordered", True),
+        ("tri_skew_id_ordered", False),
+    ):
+        t0 = time.time()
+        triangle_counts_frame(e, deg, degree_ordered=ordered).agg(
+            F.count("*")
+        ).collect()
+        out[label] = round(time.time() - t0, 3)
+    e.unpersist(), deg.unpersist()
+
+    # -- 5k-surface dictionary linking ---------------------------------
+    # vocabulary = 2k real corpus tokens + 18k synthetic (a web-scale
+    # vocab is far larger than the dictionary); nested-loop cost is
+    # V×D levenshtein evals (100M here), blocked cost is (V+D)·len²
+    # keys + sparse candidates
+    VOCAB_CORPUS, VOCAB_SYNTH = 2000, 38_000
+    DICT_DERIVED, DICT_FILLER = 2500, 2500
+    corpus_toks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .orderBy("token")
+        .limit(VOCAB_CORPUS)
+    )
+    synth_toks = spark.range(VOCAB_SYNTH).select(
+        F.concat(F.lit("wq"), F.col("id").cast("string"), F.lit("w"))
+        .alias("token")
+    )
+    toks = corpus_toks.unionAll(synth_toks).persist()
+    derived = (
+        corpus_toks.orderBy("token")
+        .limit(DICT_DERIVED)
+        .select(
+            # one-char-extended surfaces: within lev 1 of a real token,
+            # so the verify stage is non-vacuous on both plans
+            F.concat(F.col("token"), F.lit("x")).alias("term"),
+            F.concat(F.lit("X:"), F.col("token")).alias("curie"),
+        )
+    )
+    filler = spark.range(DICT_FILLER).select(
+        F.concat(F.lit("zq"), F.col("id").cast("string"), F.lit("qz"))
+        .alias("term"),
+        F.concat(F.lit("F:"), F.col("id").cast("string")).alias("curie"),
+    )
+    gaz = derived.unionAll(filler).persist()
+    toks.count(), gaz.count()
+    t0 = time.time()
+    score_linked_tokens(toks, gaz).agg(F.count("*")).collect()
+    out["link_blocked"] = round(time.time() - t0, 3)
+    # the pre-r3 shape, bench-only (deliberately NOT in the package):
+    # broadcast nested loop over vocab × dictionary with the levenshtein
+    # predicate — the plan test forbids this in production
+    t0 = time.time()
+    d_nl = F.levenshtein(F.col("token"), F.col("term"))
+    (
+        toks.join(F.broadcast(gaz), d_nl <= LINK_MAX_DIST)
+        .groupBy("token")
+        .agg(F.min(F.struct(d_nl.alias("distance"), F.col("curie"))))
+        .agg(F.count("*"))
+        .collect()
+    )
+    out["link_nested_loop"] = round(time.time() - t0, 3)
+    toks.unpersist(), gaz.unpersist()
+
+    out["tri_skew_speedup"] = round(
+        out["tri_skew_id_ordered"] / max(out["tri_skew_degree_ordered"], 1e-9), 2
+    )
+    out["link_speedup"] = round(
+        out["link_nested_loop"] / max(out["link_blocked"], 1e-9), 2
+    )
+    return out
+
+
+def _calibrated_vs_prev(queries: dict, calib: dict) -> dict:
+    """Host-noise-corrected round-over-round deltas (VERDICT r3 item 8):
+    scale this round's per-query seconds by the ratio of the fixed
+    Spark calibration probe vs the previous round's BENCH file, so a
+    genuine plan regression separates from the ~10% (observed up to 2×)
+    host-speed oscillation. Previous file = highest BENCH_r*.json here."""
+    import glob
+    import re as _re
+
+    benches = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    with open(benches[-1]) as fh:
+        prev = json.load(fh)
+    prev_probe = prev.get("calib_spark_sec")
+    if not prev_probe:
+        return {}
+    ratio = calib["calib_spark_sec"] / prev_probe
+    prev_q = prev.get("queries", {})
+    return {
+        "calib_ratio_vs_prev": round(ratio, 3),
+        "calib_prev_file": os.path.basename(benches[-1]),
+        # this round's timings re-expressed at the previous round's host
+        # speed: compare THESE against prev queries for plan deltas
+        "queries_calibrated": {
+            n: round(t / ratio, 3) for n, t in queries.items()
+        },
+        "delta_vs_prev_pct": {
+            n: round((t / ratio - prev_q[n]) / prev_q[n] * 100, 1)
+            for n, t in queries.items()
+            if prev_q.get(n)
+        },
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="kg-spark-bench")
     spark.range(1).count()  # JVM warm-up, excluded from timings
@@ -135,6 +288,12 @@ def main() -> None:
     n_nodes = nodes.count()
     n_edges = edges.count()
 
+    # one untimed warm-up of the first benched query: absorbs the
+    # JIT/codegen warm-up that used to land on kg_category_counts (the
+    # r3 "first query after kg_build" noise case) — order of the timed
+    # loop itself is pinned by the BENCH_QUERIES list
+    KG_QUERIES[BENCH_QUERIES[0]](spark, SF_DIR).agg(F.count("*")).collect()
+
     queries: dict[str, float] = {"kg_build": round(build_sec, 3)}
     for name in BENCH_QUERIES:
         fn = KG_QUERIES[name]
@@ -157,6 +316,7 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
 
     total = sum(queries.values())
+    slices = _scale_slices(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -173,6 +333,8 @@ def main() -> None:
                 "triples_per_sec": round(n_edges / build_sec, 1),
                 "docs_per_sec": round(n_docs / build_sec, 1),
                 **calib,
+                "slices": slices,
+                **_calibrated_vs_prev(queries, calib),
             }
         )
     )

@@ -650,6 +650,21 @@ def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subject", "object")
     )
     deg = _cooc_degrees(spark, sf_dir)  # shared persisted (id, deg)
+    return triangle_counts_frame(e, deg, degree_ordered=True)
+
+
+def triangle_counts_frame(
+    e: DataFrame, deg: DataFrame, degree_ordered: bool = True
+) -> DataFrame:
+    """Edge-frame-parametrized triangle core: ``e`` is one row per
+    undirected edge (either direction), ``deg`` is (id, deg).
+
+    degree_ordered=True is the production orientation (what
+    kg_triangle_counts uses); degree_ordered=False orients by id alone
+    — same output, but the wedge intermediate is Σ out-deg², which a
+    low-id hub turns quadratic. The bench's planted-hub slice times
+    the two side by side so the r3 refactor's win is a measured number
+    at its design point, not prose."""
     ed = e.join(
         deg.select(F.col("id").alias("subject"), F.col("deg").alias("ds")),
         "subject",
@@ -657,26 +672,36 @@ def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.select(F.col("id").alias("object"), F.col("deg").alias("do")),
         "object",
     )
-    fwd = (F.col("ds") < F.col("do")) | (
-        (F.col("ds") == F.col("do")) & (F.col("subject") < F.col("object"))
-    )
+    if degree_ordered:
+        fwd = (F.col("ds") < F.col("do")) | (
+            (F.col("ds") == F.col("do"))
+            & (F.col("subject") < F.col("object"))
+        )
+    else:
+        fwd = F.col("subject") < F.col("object")
     o = ed.select(
         F.when(fwd, F.col("subject")).otherwise(F.col("object")).alias("src"),
         F.when(fwd, F.col("object")).otherwise(F.col("subject")).alias("dst"),
         F.when(fwd, F.col("do")).otherwise(F.col("ds")).alias("deg_dst"),
+        F.when(fwd, F.col("object")).otherwise(F.col("subject")).alias("id_dst"),
     )
+    if degree_ordered:
+        later = (F.col("deg_b") < F.col("deg_c")) | (
+            (F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c"))
+        )
+        ord_col = "deg_dst"
+    else:
+        later = F.col("b") < F.col("c")
+        ord_col = "id_dst"
     w1 = o.select(
         F.col("src").alias("a"), F.col("dst").alias("b"),
-        F.col("deg_dst").alias("deg_b"),
+        F.col(ord_col).alias("deg_b"),
     )
     w2 = o.select(
         F.col("src").alias("a"), F.col("dst").alias("c"),
-        F.col("deg_dst").alias("deg_c"),
+        F.col(ord_col).alias("deg_c"),
     )
-    wedges = w1.join(w2, "a").filter(
-        (F.col("deg_b") < F.col("deg_c"))
-        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
-    )
+    wedges = w1.join(w2, "a").filter(later)
     tri = wedges.join(
         o.select(F.col("src").alias("b"), F.col("dst").alias("c")),
         ["b", "c"],
@@ -772,6 +797,15 @@ def linked_mentions_scored(
         )
         .distinct()
     )
+    return score_linked_tokens(toks, gaz)
+
+
+def score_linked_tokens(toks: DataFrame, gaz: DataFrame) -> DataFrame:
+    """Token-frame-parametrized blocked-linking core: ``toks`` is any
+    distinct (token) frame, ``gaz`` any (term, curie) frame. Production
+    feeds the corpus vocabulary; the bench's dictionary slice feeds a
+    capped vocabulary so the blocked equi-join can be timed against a
+    nested-loop twin on identical inputs."""
     tok_keys = toks.select(
         "token", F.explode(_deletion_keys("token")).alias("k")
     )

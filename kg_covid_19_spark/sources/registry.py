@@ -113,7 +113,10 @@ def _zhou(spark: SparkSession, input_dir: str, rows: DataFrame | None = None,
             # pre-extracted tabula JSON → runnable without the PDF libs
             rows = read_table_sidecar(spark, sidecar)
         else:
-            rows = read_pdf_tables(  # raises NotImplementedError (no tabula)
+            # pure-Python text-layer fallback (sources/zhou.py) — raises
+            # FileNotFoundError on a missing PDF, NotImplementedError
+            # only for a PDF with no extractable text layer (needs OCR)
+            rows = read_pdf_tables(
                 spark, f"{input_dir}/41421_2020_153_MOESM1_ESM.pdf"
             )
     return zhou_transform(spark, rows, **kw)

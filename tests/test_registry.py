@@ -80,7 +80,12 @@ def test_unknown_source_raises(spark, tmp_path):
 
 
 def test_zhou_without_rows_raises(spark, tmp_path):
-    with pytest.raises(NotImplementedError):
+    """No sidecar and no PDF: the missing INPUT surfaces as
+    FileNotFoundError (the merge missing-file contract). Since r4 the
+    PDF decode itself is runnable without tabula (pure-Python text
+    layer, tests/test_zhou.py); NotImplementedError now marks only the
+    no-text-layer/OCR case."""
+    with pytest.raises(FileNotFoundError):
         DATA_SOURCES["ZhouTransform"](spark, str(tmp_path))
 
 

@@ -72,3 +72,89 @@ def test_mention_automaton_scales_to_synthetic_gazetteer(spark):
     assert "SYN:PLANT0" in curies  # the planted surface matched
     # every emitted curie comes from the supplied dictionary
     assert all(c is None or re.match(r"SYN:\d|SYN:PLANT", c) for c in curies)
+
+
+def test_triangle_orientations_agree_on_planted_hub(spark):
+    """The bench's skew-slice comparison is only meaningful if both
+    orientations compute the SAME result: on the planted hub+ring graph
+    (the bench slice's exact shape, smaller) degree-ordered and
+    id-ordered enumeration must emit identical per-node triangle
+    counts — here hub 0 closes a triangle with every ring edge."""
+    from kg_covid_19_spark.plans.queries import triangle_counts_frame
+
+    d = 60
+    hub = spark.range(1, d + 1).select(
+        F.lit(0).cast("long").alias("subject"), F.col("id").alias("object")
+    )
+    ring = spark.range(1, d).select(
+        F.col("id").alias("subject"), (F.col("id") + 1).alias("object")
+    )
+    e = hub.unionAll(ring)
+    deg = (
+        e.select(F.col("subject").alias("id"))
+        .unionAll(e.select(F.col("object").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    a = sorted(
+        tuple(r)
+        for r in triangle_counts_frame(e, deg, degree_ordered=True).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in triangle_counts_frame(e, deg, degree_ordered=False).collect()
+    )
+    assert a == b
+    counts = dict(a)
+    assert counts[0] == d - 1          # hub participates in every triangle
+    assert counts[1] == counts[d] == 1  # ring endpoints: one each
+    assert all(counts[i] == 2 for i in range(2, d))
+
+
+def test_blocked_linking_equals_nested_loop_reference(spark):
+    """The bench's dictionary-slice twin plans must agree: the SymSpell
+    blocked equi-join (production) and a broadcast nested-loop
+    levenshtein scan over the SAME (vocab, dictionary) inputs produce
+    the identical argmin links — the losslessness of ≤2-deletion
+    blocking, asserted end-to-end rather than per-pair."""
+    from kg_covid_19_spark.plans.queries import (
+        LINK_MAX_DIST,
+        score_linked_tokens,
+    )
+
+    toks = spark.createDataFrame(
+        [("spike",), ("spikes",), ("ace",), ("acer",), ("unrelatedzz",)],
+        "token string",
+    )
+    gaz = spark.createDataFrame(
+        [("spike", "X:1"), ("ace2", "X:2"), ("other", "X:3")],
+        "term string, curie string",
+    )
+    blocked = sorted(
+        tuple(r) for r in score_linked_tokens(toks, gaz).collect()
+    )
+    nested = sorted(
+        tuple(r)
+        for r in (
+            toks.join(
+                F.broadcast(gaz),
+                F.levenshtein(F.col("token"), F.col("term"))
+                <= LINK_MAX_DIST,
+            )
+            .groupBy("token")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.levenshtein(F.col("token"), F.col("term")).alias(
+                            "distance"
+                        ),
+                        "curie",
+                    )
+                ).alias("b")
+            )
+            .select("token", "b.curie", "b.distance")
+            .collect()
+        )
+    )
+    assert blocked == nested
+    assert ("spike", "X:1", 0) in blocked

@@ -191,3 +191,59 @@ def test_scibite_triple_pr_vs_reference(spark):
     precision = tp / len(ours)
     recall = tp / len(ref)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_cmap_covers_every_fixture_iri_family(spark):
+    """Contraction-table completeness (the PARITY.md caveat, as a test):
+    every http(s) term IRI across ALL CORD fixture zips must be claimed
+    by exactly one contraction rule — the OBO PURL regex, a CMAP base,
+    or the gene-symbol branch (GENENAMES_IRI). A fixture family falling
+    through to raw-IRI passthrough fails here instead of silently
+    surviving contraction. Includes the one registry-ambiguous family:
+    http://purl.uniprot.org/uniprot/ must be present (it is what makes
+    this non-vacuous) and must contract to UniProtKB: via the
+    PRODUCTION column expression, matching the reference's own
+    downstream algebra which only fires on UniProtKB: CURIEs
+    (collapse_uniprot_curie, transform_utils.py:205-218)."""
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.sources.scibite import (
+        _OBO_RE,
+        contract_plain,
+        zip_json_docs,
+    )
+    from kg_covid_19_spark.sources.scibite import CMAP as PROD_CMAP
+    from kg_covid_19_spark.sources.scibite import (
+        GENENAMES_IRI as PROD_GENENAMES,
+    )
+
+    zips = [
+        f"{FIX}/{f}" for f in sorted(os.listdir(FIX)) if f.endswith(".zip")
+        and f != "cv19_scc_1_2.zip"  # co-occurrence table, no termite ids
+    ]
+    docs = zip_json_docs(spark, zips)
+    iris = sorted(
+        r["t"]
+        for r in docs.select(F.explode("terms").alias("t"))
+        .filter(F.col("t").startswith("http"))
+        .distinct()
+        .collect()
+    )
+    assert iris, "fixtures contained no IRI-form terms"
+
+    bases = tuple(PROD_CMAP.values()) + (PROD_GENENAMES,)
+    uncovered = [
+        i for i in iris
+        if not re.match(_OBO_RE, i) and not i.startswith(bases)
+    ]
+    assert uncovered == [], uncovered
+
+    purl = [i for i in iris if i.startswith("http://purl.uniprot.org/uniprot/")]
+    assert purl, "registry-ambiguous purl.uniprot family missing from fixtures"
+    got = (
+        spark.createDataFrame([(i,) for i in purl], "iri string")
+        .select(contract_plain(F.col("iri")).alias("c"))
+        .collect()
+    )
+    for i, r in zip(purl, got):
+        assert r["c"] == "UniProtKB:" + i.rsplit("/", 1)[-1], (i, r["c"])

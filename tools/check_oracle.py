@@ -6,7 +6,12 @@
    row count + column names + order-insensitive value hash (columns sorted
    by name, rows sorted, values stringified — mirrors the driver contract).
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+
+--json writes the per-query verdicts in the driver's CORRECTNESS_r*
+format (rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err; rows-only queries get hash_match: null) so a
+full-suite run can be committed as an in-repo evidence artifact.
 """
 
 from __future__ import annotations
@@ -55,8 +60,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from kg_covid_19_spark.session import get_spark
@@ -83,14 +94,29 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        cols = [f.name for f in df.schema.fields]
-        rows = [tuple(r) for r in df.collect()]
-        spark_t = time.time() - t0
+        try:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            cols = [f.name for f in df.schema.fields]
+            rows = [tuple(r) for r in df.collect()]
+            spark_t = time.time() - t0
+        except Exception as exc:
+            print(f"  {name}: SPARK ERROR {exc}")
+            fails.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(exc)[:300],
+            }
+            continue
         if name not in oracles:
             print(f"  {name}: {len(rows)} rows (rows-only, no oracle) "
                   f"[{spark_t:.1f}s]")
+            results[name] = {
+                "rows_match": True, "schema_match": True,
+                "hash_match": None, "spark_rows": len(rows),
+                "oracle_rows": None, "err": None,
+            }
             continue
         t0 = time.time()
         res = con.execute(oracles[name])
@@ -118,6 +144,11 @@ def main() -> int:
         ok_schema = sorted(cols) == sorted(ocols)
         ok_hash = value_hash(cols, rows) == value_hash(ocols, orows)
         status = "OK" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        results[name] = {
+            "rows_match": ok_count, "schema_match": ok_schema,
+            "hash_match": ok_hash, "spark_rows": len(rows),
+            "oracle_rows": len(orows), "err": None,
+        }
         print(f"  {name}: {status} spark={len(rows)} duck={len(orows)} "
               f"schema={'OK' if ok_schema else f'{cols} vs {ocols}'} "
               f"hash={'OK' if ok_hash else 'MISMATCH'} "
@@ -133,6 +164,25 @@ def main() -> int:
                 for a, b in diffs:
                     print(f"      spark: {a}\n      duck : {b}")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_green": sum(
+                        1 for r in results.values()
+                        if r["rows_match"] and r["schema_match"]
+                        and r["hash_match"] is not False
+                    ),
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     if fails:
         print("FAILED:", fails)
         return 1

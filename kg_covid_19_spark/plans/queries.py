@@ -300,6 +300,92 @@ def _components_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lbl.select("id", F.col("lbl").alias("component"))
 
 
+CC_FIXPOINT_MAX_ROUNDS = 64  # safety cap ≫ any co-occurrence diameter
+
+
+def kg_components_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-loop twin of kg_components: the SAME per-round plan
+    (one join + one min groupBy, per-round persist/materialize/release)
+    iterated UNTIL NO LABEL CHANGES rather than a fixed round count —
+    the true connected components at any diameter, with a driver-side
+    changed-row count (one extra copartitioned join + count per round,
+    the standard distributed-fixpoint termination test) and a safety
+    cap. Oracle-expressible without unrolling: hash-min CC's fixpoint
+    is min-reachable-id, which DuckDB computes as a recursive-CTE
+    transitive closure — so this query keeps a full value-hash gate,
+    unlike sketches."""
+    key = (*table_source_key(spark, sf_dir), "components_fixpoint")
+    if key not in _ITER_CACHE:
+        _, edges = get_kg(spark, sf_dir)
+        und = _undirected(
+            edges.filter(F.col("predicate") == "biolink:correlated_with")
+        )
+        _ITER_CACHE[key] = components_fixpoint_frame(und)
+    return _ITER_CACHE[key]
+
+
+def components_fixpoint_frame(und: DataFrame) -> DataFrame:
+    """(subject, object) undirected-edge frame → (id, component) at
+    fixpoint. Frame-parametrized so the convergence pytest can drive a
+    path graph LONGER than kg_components' fixed CC_ROUNDS."""
+    und = und.persist()  # loop-invariant: joined every round
+    # Per-round LINEAGE TRUNCATION, not just persist: a persisted frame
+    # still nests the previous round's analyzed plan, and an
+    # unknown-depth loop grows that nest until Catalyst itself OOMs
+    # (observed on an 11-round path graph). localCheckpoint(eager)
+    # materializes AND cuts the plan to a leaf — the unbounded-loop
+    # discipline; a cluster deployment would use reliable checkpoint()
+    # to a DFS dir for executor-loss tolerance.
+    lbl = (
+        und.select(F.col("subject").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_FIXPOINT_MAX_ROUNDS):
+        nbr = (
+            und.join(lbl, und.object == lbl.id)
+            .select(und.subject.alias("id"), "lbl")
+        )
+        new = (
+            lbl.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lbl.withColumnRenamed("lbl", "old"), "id")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return lbl.select("id", F.col("lbl").alias("component"))
+
+
+def _components_fixpoint_sql() -> str:
+    """Fixpoint CC as a DuckDB recursive CTE: component(v) = min id
+    reachable from v (hash-min's fixpoint). UNION (not UNION ALL)
+    dedups the frontier, so the closure terminates; the entity set is
+    gazetteer-bounded, so the closure is tiny at any corpus scale —
+    the ORACLE is allowed that luxury, the Spark plan is not."""
+    return """und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+cc_nodes AS (SELECT DISTINCT subject AS id FROM und),
+reach AS (
+  SELECT id, id AS r FROM cc_nodes
+  UNION
+  SELECT und.subject AS id, reach.r AS r
+  FROM und JOIN reach ON und.object = reach.id
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id"""
+
+
 def _components_sql() -> str:
     parts = [
         """und AS (
@@ -967,6 +1053,7 @@ KG_QUERIES = {
     "kg_hub_distances": kg_hub_distances,
     "kg_resource_allocation": kg_resource_allocation,
     "kg_components": kg_components,
+    "kg_components_fixpoint": kg_components_fixpoint,
     "kg_kcore": kg_kcore,
     "kg_degree_moments": kg_degree_moments,
 }
@@ -1202,6 +1289,10 @@ HAVING count(DISTINCT a.object) >= 2
     "kg_components": f"""
 WITH {_CTE},
 {_components_sql()}
+""",
+    "kg_components_fixpoint": f"""
+WITH RECURSIVE {_CTE},
+{_components_fixpoint_sql()}
 """,
     "kg_kcore": f"""
 WITH {_CTE},

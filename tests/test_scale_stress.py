@@ -158,3 +158,33 @@ def test_blocked_linking_equals_nested_loop_reference(spark):
     )
     assert blocked == nested
     assert ("spike", "X:1", 0) in blocked
+
+
+def test_components_fixpoint_converges_past_bounded_rounds(spark):
+    """On a path graph whose diameter (11) exceeds kg_components' fixed
+    CC_ROUNDS (3), the convergence loop must still collapse every node
+    to the global min label — and stop on its own (changed == 0), not
+    at the safety cap."""
+    from kg_covid_19_spark.plans.queries import (
+        CC_ROUNDS,
+        components_fixpoint_frame,
+    )
+
+    n = 12
+    assert n - 1 > CC_ROUNDS
+    path_edges = spark.range(n - 1).select(
+        F.concat(F.lit("v"), F.format_string("%02d", F.col("id")))
+        .alias("subject"),
+        F.concat(F.lit("v"), F.format_string("%02d", F.col("id") + 1))
+        .alias("object"),
+    )
+    und = path_edges.unionAll(
+        path_edges.select(
+            F.col("object").alias("subject"), F.col("subject").alias("object")
+        )
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in components_fixpoint_frame(und).collect()
+    }
+    assert got == {f"v{i:02d}": "v00" for i in range(n)}

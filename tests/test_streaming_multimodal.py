@@ -59,3 +59,41 @@ def test_multimodal_kernel_shapes(spark):
     rows = frames.limit(50).collect()
     assert all(r.frame_idx % FRAME_STEP == 0 for r in rows)
     assert all(0 < r.frame_len <= FRAME_BYTES for r in rows)
+
+
+def test_grid_neardup_has_full_recall_vs_brute_force(spark):
+    """The banded-multiprobe guarantee, asserted: every pair the
+    quadratic brute-force L1 join admits at L1_MAX_PPM must be emitted
+    by media_grid_neardup (pigeonhole: some 4-dim band has band-L1 <=
+    thr/2, so its grid indices are within +-1 and the 81-offset probe
+    join cannot miss it). Precision is trivially 1.0 (shared verify),
+    so this equality IS recall = 1.0."""
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.operators.multimodal import (
+        L1_MAX_PPM,
+        media_features,
+        media_grid_neardup,
+    )
+
+    f = media_features(spark, SF_DIR)
+    v = F.transform(F.split("f0", ","), lambda s: s.cast("long"))
+    g = f.select("doc_id", v.alias("v"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("v").alias("vb"))
+    l1 = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> abs(x - y)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    brute = sorted(
+        tuple(r)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("l1_ppm", l1)
+        .filter(F.col("l1_ppm") <= L1_MAX_PPM)
+        .select("id_a", "id_b", "l1_ppm")
+        .collect()
+    )
+    got = sorted(tuple(r) for r in media_grid_neardup(spark, SF_DIR).collect())
+    assert got == brute
+    assert brute, "threshold admits no pairs at test scale — vacuous"

@@ -463,6 +463,96 @@ def _kcore_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_FIXPOINT_UNROLL = 16
+
+
+def kg_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-loop twin of kg_kcore: peel degree-<k nodes until a
+    round removes nothing — the true k-core at any peel depth. Same
+    per-round plan (degree groupBy + two semi-joins), per-round
+    localCheckpoint lineage truncation (the components_fixpoint OOM
+    lesson), edge-count-based termination. Oracle contract is EXACT,
+    not best-effort: peeling is monotone and idempotent at fixpoint,
+    so an oracle unrolled to KCORE_FIXPOINT_UNROLL rounds equals the
+    fixpoint whenever convergence takes ≤ that many rounds — and the
+    Spark side RAISES if it ever needs more, so the two can never
+    silently diverge (the synthetic worst case, a path peeling from
+    both ends, is exercised in tests)."""
+    key = (*table_source_key(spark, sf_dir), "kcore_fixpoint")
+    if key not in _ITER_CACHE:
+        _, edges = get_kg(spark, sf_dir)
+        und = _undirected(
+            edges.filter(F.col("predicate") == "biolink:correlated_with")
+        )
+        _ITER_CACHE[key] = kcore_fixpoint_frame(und, KCORE_K)
+    return _ITER_CACHE[key]
+
+
+def kcore_fixpoint_frame(und: DataFrame, k: int) -> DataFrame:
+    e = und.localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(KCORE_FIXPOINT_UNROLL):
+        if n_edges == 0:
+            break
+        keep = (
+            e.groupBy(F.col("subject").alias("id"))
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("id")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("id", "subject"), "subject",
+                   "left_semi")
+            .join(keep.withColumnRenamed("id", "object"), "object",
+                  "left_semi")
+            .select("subject", "object")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge within "
+            f"{KCORE_FIXPOINT_UNROLL} rounds — raise "
+            f"KCORE_FIXPOINT_UNROLL (and the oracle unroll with it)"
+        )
+    return e.groupBy(F.col("subject").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+
+
+def _kcore_fixpoint_sql() -> str:
+    parts = [
+        """c0 AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)"""
+    ]
+    # AS MATERIALIZED is load-bearing: each c_{r+1} references c_r
+    # three times (FROM + two IN subqueries via k_r), so DuckDB's
+    # default CTE inlining would expand the 16-round chain to 3^16
+    # plan copies — the same lineage-nesting blowup the Spark side
+    # solves with localCheckpoint (it died as "too many open files")
+    for r in range(KCORE_FIXPOINT_UNROLL):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT subject AS id FROM c{r} "
+            f"GROUP BY subject HAVING count(*) >= {KCORE_K})"
+        )
+        parts.append(
+            f"c{r + 1} AS MATERIALIZED (SELECT subject, object FROM c{r} "
+            f"WHERE subject IN (SELECT id FROM k{r}) "
+            f"AND object IN (SELECT id FROM k{r}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT subject AS id, count(*) AS deg "
+        f"FROM c{KCORE_FIXPOINT_UNROLL} GROUP BY subject"
+    )
+
+
 def _kcore_sql() -> str:
     parts = [
         """c0 AS (
@@ -1054,6 +1144,7 @@ KG_QUERIES = {
     "kg_resource_allocation": kg_resource_allocation,
     "kg_components": kg_components,
     "kg_components_fixpoint": kg_components_fixpoint,
+    "kg_kcore_fixpoint": kg_kcore_fixpoint,
     "kg_kcore": kg_kcore,
     "kg_degree_moments": kg_degree_moments,
 }
@@ -1297,6 +1388,10 @@ WITH RECURSIVE {_CTE},
     "kg_kcore": f"""
 WITH {_CTE},
 {_kcore_sql()}
+""",
+    "kg_kcore_fixpoint": f"""
+WITH {_CTE},
+{_kcore_fixpoint_sql()}
 """,
     "kg_degree_moments": f"""
 WITH {_CTE},

@@ -188,3 +188,38 @@ def test_components_fixpoint_converges_past_bounded_rounds(spark):
         for r in components_fixpoint_frame(und).collect()
     }
     assert got == {f"v{i:02d}": "v00" for i in range(n)}
+
+
+def test_kcore_fixpoint_peels_past_bounded_rounds(spark):
+    """A 10-path peels one node from each end per round at k=2 — full
+    dissolution needs 5 rounds, past kg_kcore's fixed KCORE_ROUNDS (3).
+    The fixpoint twin must dissolve it completely, and must converge on
+    its own (no RuntimeError) well inside the oracle unroll."""
+    from kg_covid_19_spark.plans.queries import (
+        KCORE_ROUNDS,
+        kcore_fixpoint_frame,
+    )
+
+    n = 10
+    assert (n - 1) // 2 + 1 > KCORE_ROUNDS
+    path = spark.range(n - 1).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("subject"),
+        F.concat(F.lit("p"), (F.col("id") + 1).cast("string")).alias("object"),
+    )
+    und = path.unionAll(
+        path.select(
+            F.col("object").alias("subject"), F.col("subject").alias("object")
+        )
+    )
+    assert kcore_fixpoint_frame(und, 2).count() == 0  # fully dissolved
+    # and a triangle (true 2-core) survives with degree 2 everywhere
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "subject string, object string"
+    )
+    und_tri = tri.unionAll(
+        tri.select(
+            F.col("object").alias("subject"), F.col("subject").alias("object")
+        )
+    )
+    got = {r["id"]: r["deg"] for r in kcore_fixpoint_frame(und_tri, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}

@@ -82,6 +82,19 @@ PIPELINE_BENCH = {
 }
 
 
+def _late_bench():
+    # r4 additions — timed in suite_sec only, like every post-r01 query
+    from kg_covid_19_spark.operators.multimodal import MULTIMODAL_QUERIES
+
+    return {
+        "kg_components_fixpoint": KG_QUERIES["kg_components_fixpoint"],
+        "media_grid_neardup": MULTIMODAL_QUERIES["media_grid_neardup"],
+    }
+
+
+PIPELINE_BENCH.update(_late_bench())
+
+
 def _calibrate(spark) -> dict:
     """Machine-noise calibration, reported alongside the timings so a
     round-over-round comparison can tell a plan regression from a noisy

@@ -227,26 +227,38 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 L1_MAX_PPM = 20_000      # total L1 bound for a near-dup pair
 GRID_Q = L1_MAX_PPM // 2  # cell edge = thr/2 (the pigeonhole band bound)
 _BANDS = ((0, 4), (4, 8))  # two bands of 4 dims (0-based slices)
-_OFFS = [
-    (o1, o2, o3, o4)
-    for o1 in (-1, 0, 1) for o2 in (-1, 0, 1)
-    for o3 in (-1, 0, 1) for o4 in (-1, 0, 1)
-]
 
 
 def _band_key(band_ix: int, lo: int, hi: int,
-              offs: tuple[int, ...] | None = None) -> F.Column:
-    """'<band>|i_lo..i_hi' grid-cell key over one band's dims; ``offs``
-    shifts each index (the probe side's ±1 neighborhood)."""
+              probe: bool = False) -> F.Column:
+    """'<band>|i_lo..i_hi' grid-cell key over one band's dims; with
+    ``probe`` each index is shifted by the joined offset column o<j>
+    (the ±1 neighborhood)."""
     parts = [F.lit(f"{band_ix}|")]
     for j, i in enumerate(range(lo, hi)):
         if j:
             parts.append(F.lit("_"))
         idx = F.expr(f"element_at(v, {i + 1}) div {GRID_Q}")
-        if offs is not None:
-            idx = idx + F.lit(offs[j])
+        if probe:
+            idx = idx + F.col(f"o{j + 1}")
         parts.append(idx.cast("string"))
     return F.concat(*parts)
+
+
+def _offsets_df(spark: SparkSession):
+    """The 81 probe offsets (±1 per band dim) as a broadcastable 81-row
+    frame — joined rather than unrolled into 81 key expressions, which
+    blew the 64 KB whole-stage-codegen limit and dropped the entire
+    probe stage to interpreted evaluation (measured 12 s → this shape
+    keeps one small concat in codegen)."""
+    return F.broadcast(
+        spark.range(81).select(
+            *[
+                F.expr(f"id div {3 ** j} % 3 - 1").alias(f"o{j + 1}")
+                for j in range(4)
+            ]
+        )
+    )
 
 
 def media_grid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,19 +292,23 @@ def media_grid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bi, (lo, hi) in enumerate(_BANDS)
     ]
     own = own_parts[0].unionAll(own_parts[1])
+    offs = _offsets_df(spark)
     probe_parts = [
-        g.select(
+        g.crossJoin(offs).select(
             F.col("doc_id").alias("id_b"), F.col("v").alias("vb"),
-            F.explode(
-                F.array(*[_band_key(bi, lo, hi, o) for o in _OFFS])
-            ).alias("k"),
+            _band_key(bi, lo, hi, probe=True).alias("k"),
         )
         for bi, (lo, hi) in enumerate(_BANDS)
     ]
     probe = probe_parts[0].unionAll(probe_parts[1])
+    # explicit 8-term sum, NOT zip_with+aggregate: interpreted HOF
+    # lambdas cost ~2µs/step and this runs on every candidate row
+    # (measured 12.2s → codegen'd sum cuts the verify to JVM arithmetic)
     l1 = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> abs(x - y)), 0L, "
-        "(acc, x) -> acc + x)"
+        " + ".join(
+            f"abs(element_at(va, {i}) - element_at(vb, {i}))"
+            for i in range(1, len(FEATURE_CHARS) + 1)
+        )
     )
     return (
         own.join(probe, "k")

@@ -351,6 +351,54 @@ materialize barrier (`.count()`), whose cost is the price of cutting
 the 2^k lineage — on a cluster this is the same barrier a checkpoint
 would impose, amortized over far larger rounds.
 
+## Host-noise caveat (measured, not hypothesized)
+
+This VM's effective CPU speed fluctuates up to ~2× on minute timescales
+(hypervisor co-tenancy the guest cannot see: /proc/stat steal reads 0,
+cpuinfo pins 2100 MHz, yet the identical commit benched its headline at
+11.6 s and 16.7 s two hours apart while taskset-pinned fixed workloads
+stayed within ~10%). `bench.py` therefore emits two fixed calibration
+probes with every run — `calib_cpu_sec` (single-thread Python loop) and
+`calib_spark_sec` (fixed JVM-only 32-partition aggregation) — so a
+round-over-round comparison can divide out the host-speed ratio before
+concluding anything about the plans. The scaling tables above were
+taken in a verified-quiet window (flat busy core-seconds across
+parallelism levels is the in-run quietness signature).
+
+## Design-point slices (r4): the two deliberate r3 "regressions" winning
+
+BENCH_r* carries a `slices` section timing each r3 plan refactor
+against its pre-r3 shape AT THE SCALE THE REFACTOR TARGETS (toy-scale
+bench rows made them look slower in r3; these slices make the trade a
+measured number):
+
+* **Planted-hub triangles** — star hub (degree 6000) + leaf ring, both
+  orientations over the identical edge/degree frames
+  (`triangle_counts_frame`, equality pinned by
+  test_triangle_orientations_agree_on_planted_hub). Id-ordering makes
+  the hub a wedge center (C(6000,2) ≈ 18M wedge rows); degree-ordering
+  leaves it on the closing side. Measured at sf0.1/local[32]:
+  degree-ordered 1.9 s vs id-ordered 6.2 s → **3.3×** — and the gap is
+  the hub degree squared, so it widens without bound on a power-law
+  web graph.
+* **Dictionary linking** — 40k vocabulary × 5k-surface dictionary,
+  SymSpell ≤2-deletion blocked equi-join (production,
+  `score_linked_tokens`) vs the pre-r3 broadcast nested-loop
+  levenshtein scan on identical inputs (equality pinned by
+  test_blocked_linking_equals_nested_loop_reference). Measured:
+  blocked 0.7 s vs nested-loop 2.9 s → **4.2×**. The nested loop is
+  V×D edit-distance evaluations (200M here); the blocked join is
+  (V+D)·len² key rows plus sparse candidates — linear, not bilinear,
+  in the dictionary. At the north star's 10⁶-surface dictionary the
+  nested loop is 4 orders of magnitude more comparisons.
+
+Per-query host-noise correction: each BENCH_r4+ run re-expresses its
+timings at the PREVIOUS round's host speed via the fixed
+`calib_spark_sec` probe ratio (`queries_calibrated`,
+`delta_vs_prev_pct` fields) — compare those, not raw seconds, across
+rounds. The first benched query is also warmed untimed now, removing
+the JIT warm-up that made kg_category_counts look 1.6× slower in r3.
+
 Reproduce: `python tools/scaling.py {rep}`.
 """)
 

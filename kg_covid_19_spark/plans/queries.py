@@ -251,6 +251,85 @@ def kg_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AA_MAX_DEG = 1024
+
+
+def _ln_ppm_table() -> list[tuple[int, int]]:
+    """(deg, ln(deg)·1e6 truncated) for deg 2..AA_MAX_DEG — generated
+    ONCE in Python and embedded literally in BOTH engines, so
+    Adamic-Adar's 1/log weight is engine-parity by construction (the
+    usual objection to AA — libm last-ulp divergence — vanishes when
+    neither engine calls libm). deg 1 never appears: a degree-1 node
+    cannot be a common neighbor."""
+    import math
+
+    return [(d, int(math.log(d) * 1_000_000)) for d in range(2, AA_MAX_DEG + 1)]
+
+
+def kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction in exact integers:
+    AA(x,y) = Σ_{via ∈ N(x)∩N(y)} 1/ln(deg(via)), here as
+    Σ 1e12 div ln_ppm(deg) — the hub-down-weighting score
+    kg_resource_allocation rationalizes; r4 ships the real thing by
+    making the log a shared 1023-row integer table (broadcast join in
+    Spark, literal VALUES in DuckDB) instead of a runtime libm call.
+    Same wedge-join shape and SCALE.md ceiling as common-neighbors/RA.
+    Vias with degree > AA_MAX_DEG are excluded IN BOTH ENGINES (inner
+    join against the table): a 10⁶-degree hub's AA term is ≤ 1/ln(1024)
+    ≈ 0.14 and carries ~no link signal — the same principled hub
+    cutoff as kg_common_neighbors_capped."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    deg = _cooc_degrees(spark, sf_dir).select(
+        F.col("id").alias("via"), F.col("deg").alias("via_deg")
+    )
+    ln_tab = F.broadcast(
+        spark.createDataFrame(_ln_ppm_table(), "via_deg long, ln_ppm long")
+    )
+    a = und.select(F.col("subject").alias("x"), F.col("object").alias("via"))
+    b = und.select(F.col("subject").alias("y"), F.col("object").alias("via"))
+    return (
+        a.join(b, "via")
+        .filter(F.col("x") < F.col("y"))
+        .join(deg, "via")
+        .join(ln_tab, "via_deg")
+        .groupBy("x", "y")
+        .agg(
+            F.expr("CAST(sum(1000000000000L div ln_ppm) AS LONG)").alias(
+                "aa_ppm"
+            ),
+            F.countDistinct("via").alias("n_common"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+
+
+def _aa_sql() -> str:
+    vals = ", ".join(f"({d}, {p})" for d, p in _ln_ppm_table())
+    return f"""und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+deg AS (
+  SELECT object AS via, count(DISTINCT subject) AS via_deg
+  FROM und GROUP BY object
+),
+ln_tab AS (SELECT * FROM (VALUES {vals}) t(via_deg, ln_ppm))
+SELECT a.subject AS x, b.subject AS y,
+       CAST(sum(1000000000000 // l.ln_ppm) AS BIGINT) AS aa_ppm,
+       count(DISTINCT a.object) AS n_common
+FROM und a
+JOIN und b ON a.object = b.object
+JOIN deg d ON a.object = d.via
+JOIN ln_tab l ON d.via_deg = l.via_deg
+WHERE a.subject < b.subject
+GROUP BY a.subject, b.subject
+HAVING count(DISTINCT a.object) >= 2"""
+
+
 CC_ROUNDS = 3
 
 
@@ -1142,6 +1221,7 @@ KG_QUERIES = {
     "kg_triangle_counts": kg_triangle_counts,
     "kg_hub_distances": kg_hub_distances,
     "kg_resource_allocation": kg_resource_allocation,
+    "kg_adamic_adar": kg_adamic_adar,
     "kg_components": kg_components,
     "kg_components_fixpoint": kg_components_fixpoint,
     "kg_kcore_fixpoint": kg_kcore_fixpoint,
@@ -1376,6 +1456,10 @@ JOIN deg d ON a.object = d.via
 WHERE a.subject < b.subject
 GROUP BY a.subject, b.subject
 HAVING count(DISTINCT a.object) >= 2
+""",
+    "kg_adamic_adar": f"""
+WITH {_CTE},
+{_aa_sql()}
 """,
     "kg_components": f"""
 WITH {_CTE},

@@ -63,11 +63,18 @@ def write_kgx(nodes: DataFrame, edges: DataFrame, out_dir: str,
               single_file: bool = False,
               property_types: dict[str, str] | None = None,
               node_partition_by: list[str] | None = None,
-              edge_partition_by: list[str] | None = None) -> None:
+              edge_partition_by: list[str] | None = None,
+              fmt: str = "tsv") -> None:
     """``*_partition_by``: hive-style partitioned layout (e.g. nodes by
     category, edges by predicate) — at 100 TB this is what makes the
     merged artifact queryable with partition pruning; readers filtering
-    on the partition column never touch the other directories."""
+    on the partition column never touch the other directories.
+
+    ``fmt``: 'tsv' (the reference's write_node_edge_item shape, missing
+    values as '') or 'jsonl' (KGX's other interchange format — one JSON
+    object per line, nulls omitted per KGX convention)."""
+    if fmt not in ("tsv", "jsonl"):
+        raise ValueError(f"unsupported KGX format {fmt!r}")
     n, e = (nodes, edges)
     if property_types:
         n = apply_property_types(n, property_types)
@@ -78,6 +85,12 @@ def write_kgx(nodes: DataFrame, edges: DataFrame, out_dir: str,
         (n, "nodes", node_partition_by),
         (e, "edges", edge_partition_by),
     ):
+        if fmt == "jsonl":
+            writer = df.write.mode("overwrite")
+            if pb:
+                writer = writer.partitionBy(*pb)
+            writer.json(f"{out_dir}/{name}")
+            continue
         writer = (
             df.write.mode("overwrite")
             .option("sep", "\t")
@@ -89,8 +102,11 @@ def write_kgx(nodes: DataFrame, edges: DataFrame, out_dir: str,
         writer.csv(f"{out_dir}/{name}")
 
 
-def read_kgx(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+def read_kgx(spark: SparkSession, out_dir: str,
+             fmt: str = "tsv") -> tuple[DataFrame, DataFrame]:
     def rd(name: str) -> DataFrame:
+        if fmt == "jsonl":
+            return spark.read.json(f"{out_dir}/{name}")
         return (
             spark.read.option("sep", "\t")
             .option("header", True)

@@ -190,3 +190,57 @@ def stream_dedup_hashes_watermarked(
     ]
     q.stop()
     return spark.read.parquet(out_dir), state_rows
+
+
+def _pair_count_plan(docs: DataFrame) -> DataFrame:
+    """(streaming or batch) documents → pair-support counts via the
+    SAME row-local pair_expand kernel as the batch
+    kg_cooccurrence_counts (plans/pipeline.pair_expand + the
+    _pair_counts shape) — stream/batch parity is structural."""
+    from ..plans.pipeline import pair_expand
+
+    detect = make_curie_udf()
+    return (
+        # materialize the mention array BEFORE pair_expand: a Python UDF
+        # cannot appear inside higher-order-function lambdas
+        docs.select(detect(F.col("text")).alias("curies"))
+        .select(F.explode(pair_expand(F.col("curies"))).alias("p"))
+        .groupBy(F.col("p.s").alias("subject"), F.col("p.o").alias("object"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def stream_cooc_counts(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    query_name: str = "kg_cooc_stream",
+) -> DataFrame:
+    """Continuously-maintained co-occurrence support counts — the
+    streaming twin of kg_cooccurrence_counts (and the live form of
+    kg_cooc_incremental's incremental==full contract).
+
+    Pair expansion is row-local inside each micro-batch (zero shuffle
+    on the doc stream); the ONLY state is the aggregate itself, keyed
+    by curie pairs — bounded by |gazetteer|², not the corpus — which is
+    what makes complete-mode output legitimate at any corpus scale.
+    A restart with the same checkpoint resumes the counts exactly-once
+    per input file."""
+    schema = spark.read.parquet(docs_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    q = (
+        _pair_count_plan(docs)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

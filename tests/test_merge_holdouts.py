@@ -73,6 +73,30 @@ def test_kgx_roundtrip(spark, tmp_path):
     assert re_.columns == ["subject", "predicate", "object", "relation", "provided_by"]
 
 
+def test_kgx_jsonl_roundtrip(spark, tmp_path):
+    """KGX's other interchange format: jsonl write -> read preserves the
+    exact node/edge value multisets (column order is schema-inferred on
+    read, so compare by name)."""
+    nodes, edges = get_merged(spark, SF_DIR)
+    out = str(tmp_path / "kgx_jsonl")
+    write_kgx(nodes.limit(50), edges.limit(50), out, fmt="jsonl")
+    rn, re_ = read_kgx(spark, out, fmt="jsonl")
+    want_nodes = sorted(
+        tuple(r) for r in nodes.limit(50)
+        .select("id", "name", "category", "provided_by").collect()
+    )
+    got_nodes = sorted(
+        tuple(r) for r in rn
+        .select("id", "name", "category", "provided_by").collect()
+    )
+    assert got_nodes == want_nodes
+    assert re_.count() == 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_kgx(nodes.limit(1), edges.limit(1), out, fmt="xml")
+
+
 def test_connected_split_covers_every_node_in_train(spark):
     from pyspark.sql import functions as F
 

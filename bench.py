@@ -255,6 +255,8 @@ def _calibrated_vs_prev(queries: dict, calib: dict) -> dict:
         return {}
     with open(benches[-1]) as fh:
         prev = json.load(fh)
+    # the round driver wraps bench's JSON line under "parsed"
+    prev = prev.get("parsed", prev)
     prev_probe = prev.get("calib_spark_sec")
     if not prev_probe:
         return {}

@@ -251,6 +251,95 @@ def kg_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LP_ROUNDS = 3
+
+
+def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by semi-synchronous label propagation over
+    the co-occurrence graph: LP_ROUNDS rounds of "adopt the most
+    frequent neighbor label", every tie broken deterministically
+    (count DESC, then label ASC) so the result is exact at any
+    parallelism and in DuckDB — the usual LP randomness is replaced by
+    a total order, the same discipline as the hash-min CC twin. Each
+    round is one copartitioned join + two bounded groupBys (label
+    counts collapse map-side; the argmax is a partial-agg min over a
+    (−count, label) struct, not a window); per-round persist with the
+    BFS/pagerank release discipline. Bounded rounds keep the oracle an
+    unrolled CTE — the convergence-loop form would follow
+    components_fixpoint's localCheckpoint pattern."""
+    key = (*table_source_key(spark, sf_dir), "label_propagation")
+    if key not in _ITER_CACHE:
+        _ITER_CACHE[key] = _lp_build(spark, sf_dir)
+    return _ITER_CACHE[key]
+
+
+def _lp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    return label_propagation_frame(und, LP_ROUNDS)
+
+
+def label_propagation_frame(und: DataFrame, rounds: int) -> DataFrame:
+    """(subject, object) undirected-edge frame → (id, community) after
+    ``rounds`` deterministic LP rounds; frame-parametrized for the
+    community-structure pytest."""
+    lbl = (
+        und.select(F.col("subject").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+    prev = lbl
+    for _ in range(rounds):
+        msgs = (
+            und.join(lbl, und.object == lbl.id)
+            .select(und.subject.alias("id"), "lbl")
+        )
+        cnt = msgs.groupBy("id", "lbl").agg(F.count("*").alias("c"))
+        lbl = (
+            cnt.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"),
+                             F.col("lbl").alias("l"))
+                ).alias("b")
+            )
+            .select("id", F.col("b.l").alias("lbl"))
+            .persist()
+        )
+        lbl.count()
+        prev.unpersist()
+        prev = lbl
+    return lbl.select("id", F.col("lbl").alias("community"))
+
+
+def _lp_sql() -> str:
+    parts = [
+        """und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)""",
+        "p0 AS (SELECT DISTINCT subject AS id, subject AS lbl FROM und)",
+    ]
+    for k in range(LP_ROUNDS):
+        parts.append(
+            f"m{k} AS (SELECT und.subject AS id, p{k}.lbl, count(*) AS c "
+            f"FROM und JOIN p{k} ON und.object = p{k}.id GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"p{k + 1} AS (SELECT id, lbl FROM ("
+            f"SELECT id, lbl, row_number() OVER (PARTITION BY id "
+            f"ORDER BY c DESC, lbl ASC) AS rn FROM m{k}) WHERE rn = 1)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, lbl AS community FROM p{LP_ROUNDS}"
+    )
+
+
 AA_MAX_DEG = 1024
 
 
@@ -1222,6 +1311,7 @@ KG_QUERIES = {
     "kg_hub_distances": kg_hub_distances,
     "kg_resource_allocation": kg_resource_allocation,
     "kg_adamic_adar": kg_adamic_adar,
+    "kg_label_propagation": kg_label_propagation,
     "kg_components": kg_components,
     "kg_components_fixpoint": kg_components_fixpoint,
     "kg_kcore_fixpoint": kg_kcore_fixpoint,
@@ -1460,6 +1550,10 @@ HAVING count(DISTINCT a.object) >= 2
     "kg_adamic_adar": f"""
 WITH {_CTE},
 {_aa_sql()}
+""",
+    "kg_label_propagation": f"""
+WITH {_CTE},
+{_lp_sql()}
 """,
     "kg_components": f"""
 WITH {_CTE},

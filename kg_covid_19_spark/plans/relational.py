@@ -401,6 +401,39 @@ def rel_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 extension: percent_rank and cume_dist as EXACT integer ppm —
+    pr_ppm = (rn−1)·1e6 div (n−1), cd_ppm = rn·1e6 div n under a total
+    order (ties broken by o_orderkey), which is the float built-ins'
+    value without their cross-engine repr hazard (the jaccard_ppm /
+    pagerank fixed-point discipline). Partition key is the bounded
+    o_orderpriority; rank and the partition count are two windows over
+    the same exchange."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.expr(
+                "CAST(CASE WHEN n > 1 THEN (rn - 1) * 1000000L div (n - 1) "
+                "ELSE 0 END AS LONG)"
+            ).alias("pr_ppm"),
+            F.expr("CAST(rn * 1000000L div n AS LONG)").alias("cd_ppm"),
+        )
+    )
+
+
 def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the general form cube/rollup
     specialize: order counts by (priority, status), by priority alone,
@@ -427,6 +460,7 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REL_QUERIES = {
     "rel_ntile": rel_ntile,
+    "rel_percent_rank": rel_percent_rank,
     "rel_grouping_sets": rel_grouping_sets,
     "rel_rollup_counts": rel_rollup_counts,
     "rel_running_total": rel_running_total,
@@ -454,6 +488,21 @@ REL_QUERIES = {
 }
 
 REL_ORACLES = {
+    "rel_percent_rank": """
+WITH o AS (SELECT * FROM orders WHERE o_custkey <= 100),
+r AS (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM o
+)
+SELECT o_orderpriority, o_orderkey,
+       CAST(CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
+            ELSE 0 END AS BIGINT) AS pr_ppm,
+       CAST(rn * 1000000 // n AS BIGINT) AS cd_ppm
+FROM r
+""",
     "rel_ntile": """
 SELECT o_custkey, o_orderkey,
        ntile(4) OVER (PARTITION BY o_custkey

@@ -223,3 +223,30 @@ def test_kcore_fixpoint_peels_past_bounded_rounds(spark):
     )
     got = {r["id"]: r["deg"] for r in kcore_fixpoint_frame(und_tri, 2).collect()}
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_label_propagation_finds_barbell_communities(spark):
+    """Two 5-cliques bridged by a single edge: deterministic LP must
+    label each clique with its own minimum id (count-DESC/label-ASC
+    tie-break) — the community structure the oracle parity alone
+    doesn't demonstrate."""
+    from kg_covid_19_spark.plans.queries import label_propagation_frame
+
+    def clique(prefix, n):
+        return [
+            (f"{prefix}{i}", f"{prefix}{j}")
+            for i in range(n) for j in range(n) if i < j
+        ]
+
+    edges = clique("a", 5) + clique("b", 5) + [("a0", "b0")]
+    e = spark.createDataFrame(edges, "subject string, object string")
+    und = e.unionAll(
+        e.select(F.col("object").alias("subject"),
+                 F.col("subject").alias("object"))
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation_frame(und, 3).collect()
+    }
+    assert {got[f"a{i}"] for i in range(5)} == {"a0"}
+    assert {got[f"b{i}"] for i in range(5)} == {"b0"}

@@ -63,6 +63,16 @@ def main() -> None:
     spark = get_spark(app_name="plan-report", master="local[8]",
                       shuffle_partitions=8)
 
+    def _grid(s):
+        from kg_covid_19_spark.operators.multimodal import media_grid_neardup
+
+        return media_grid_neardup(s, SF)
+
+    def _aa(s):
+        from kg_covid_19_spark.plans.queries import kg_adamic_adar
+
+        return kg_adamic_adar(s, SF)
+
     sections = [
         (
             "Mention chain (doc_mentions)",
@@ -123,6 +133,23 @@ def main() -> None:
             "CartesianProduct); levenshtein runs only on block-key "
             "collisions.",
             kg_linked_mentions_scored(spark, SF),
+        ),
+        (
+            "Banded-multiprobe media near-dup (media_grid_neardup)",
+            "Probe side = 81-row broadcast offsets frame joined per "
+            "band (keeps the key build in one small codegen'd concat "
+            "instead of 81 unrolled expressions that overflow the "
+            "64 KB method limit); candidate join is a hash join on the "
+            "cell key; the L1 verify is an explicit 8-term codegen sum, "
+            "no higher-order functions on the hot path.",
+            _grid(spark),
+        ),
+        (
+            "Adamic-Adar with a shared log table (kg_adamic_adar)",
+            "ln(deg) comes from a 1023-row broadcast table (the same "
+            "integers the DuckDB oracle embeds as VALUES) — "
+            "BroadcastHashJoin, no libm call anywhere in the plan.",
+            _aa(spark),
         ),
     ]
 

@@ -170,6 +170,61 @@ def evt_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_WIN_US = 600_000_000  # 10-minute range window, µs
+
+
+def evt_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RANGE JOIN as a banded equi-join — the second custom
+    time-series join next to the as-of (which wants only the LATEST
+    match; this wants ALL matches in a window): per click, how many of
+    the same user's views fall in the 10 minutes strictly before it.
+
+    Spark has no native range-join optimization, and the naive
+    inequality join is a per-user cross product. The scale shape is the
+    same pigeonhole banding as media_grid_neardup: bucket = ts div
+    window; a qualifying view is in the click's bucket or the one
+    before, so the view side emits (bucket, bucket+1) keys and the join
+    is an EQUI-join on (user_id, bucket) — complete by construction
+    (each qualifying pair meets on exactly one key, the click's own
+    bucket), candidates bounded by per-(user, 10-min-bucket) activity
+    rather than per-user history, and the shuffle key diffuses hot
+    users over time. Exact µs predicate verifies on candidates; clicks
+    with no prior view keep 0 (left semantics). The DuckDB oracle is
+    the direct inequality join — same rows, adversarial plan."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("v_us"),
+    )
+    ck = c.withColumn("bkt", F.expr(f"c_us div {RANGE_WIN_US}"))
+    vb = F.expr(f"v_us div {RANGE_WIN_US}")
+    vp = v.select(
+        "user_id", "v_us",
+        F.explode(F.array(vb, vb + F.lit(1))).alias("bkt"),
+    )
+    hits = (
+        ck.join(vp, ["user_id", "bkt"])
+        .filter(
+            (F.col("c_us") > F.col("v_us"))
+            & (F.col("c_us") - F.col("v_us") <= RANGE_WIN_US)
+        )
+        .groupBy("click_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return c.join(hits, "click_id", "left").select(
+        "click_id",
+        "user_id",
+        F.coalesce("n", F.lit(0)).alias("n_views_10m"),
+    )
+
+
 def evt_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via Spark's NATIVE session_window operator —
     the same semantics evt_sessions builds manually from lag+cumsum
@@ -480,6 +535,22 @@ FROM sess GROUP BY user_id, sid
 """,
     # windowed carry-forward, not DuckDB's native ASOF JOIN: ASOF leaves
     # the equal-max-ts tie unordered, this pins views-first + event_id
+    "evt_range_join_counts": """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, c.user_id,
+       CAST(count(v.v_us) AS BIGINT) AS n_views_10m
+FROM c LEFT JOIN v
+  ON v.user_id = c.user_id
+ AND c.c_us > v.v_us AND c.c_us - v.v_us <= 600000000
+GROUP BY c.click_id, c.user_id
+""",
     "evt_asof_view_click": """
 WITH uni AS (
   SELECT user_id, ts, event_id, event_type,
@@ -538,6 +609,7 @@ EVENTS_QUERIES = {
     "evt_windowed_counts": evt_windowed_counts,
     "evt_sessions": evt_sessions,
     "evt_asof_view_click": evt_asof_view_click,
+    "evt_range_join_counts": evt_range_join_counts,
     "evt_funnel": evt_funnel,
     "evt_sessions_native": evt_sessions_native,
     "evt_sliding_counts": evt_sliding_counts,

@@ -315,3 +315,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_join_is_banded_equi_join(spark):
+    """The batch range join must execute as the banded EQUI-join
+    (hash-joinable bucket keys), never a BroadcastNestedLoopJoin /
+    CartesianProduct with the raw inequality predicate — the per-user
+    cross product that plan would be at web scale."""
+    from kg_covid_19_spark.streaming.events import evt_range_join_counts
+
+    plan = _executed_plan(evt_range_join_counts(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

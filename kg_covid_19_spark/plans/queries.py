@@ -529,6 +529,16 @@ def components_fixpoint_frame(und: DataFrame) -> DataFrame:
         lbl = new
         if changed == 0:
             break
+    else:
+        # Never return a non-converged labeling: the oracle computes
+        # the true transitive-closure fixpoint, so a cap-exhausted
+        # partial result would diverge SILENTLY. Same discipline as
+        # kcore_fixpoint_frame.
+        raise RuntimeError(
+            f"hash-min components did not converge within "
+            f"{CC_FIXPOINT_MAX_ROUNDS} rounds — graph diameter "
+            f"exceeds the cap; raise CC_FIXPOINT_MAX_ROUNDS"
+        )
     und.unpersist()
     return lbl.select("id", F.col("lbl").alias("component"))
 

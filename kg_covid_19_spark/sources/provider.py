@@ -135,6 +135,29 @@ class TableProvider:
                 # written staging table replaces it.
                 staging = f"{name}__staging"
                 old = f"{name}__old"
+                # Crash recovery FIRST: a prior run that died between
+                # rename-out and rename-in left no live <name> but the
+                # previous data intact under <name>__old. Restore it
+                # before clearing leftovers, so a failure in THIS run's
+                # staging CTAS still leaves a readable table (the
+                # advertised recoverability guarantee).
+                if (not self.spark.catalog.tableExists(
+                            self.qualified(name))
+                        and self.spark.catalog.tableExists(
+                            self.qualified(old))):
+                    self.spark.sql(
+                        f"ALTER TABLE {self.qualified(old)} "
+                        f"RENAME TO {self.namespace}.{name}"
+                    )
+                    if any(
+                        c.isPartition
+                        for c in self.spark.catalog.listColumns(
+                            self.qualified(name))
+                    ):
+                        self.spark.sql(
+                            f"MSCK REPAIR TABLE {self.qualified(name)} "
+                            f"SYNC PARTITIONS"
+                        )
                 for leftover in (staging, old):
                     self.spark.sql(
                         f"DROP TABLE IF EXISTS {self.qualified(leftover)}"

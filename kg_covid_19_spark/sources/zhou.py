@@ -141,8 +141,25 @@ def _pdf_content_streams(pdf: bytes) -> list[bytes]:
         if end < 0:
             continue
         body = pdf[m.end():end].rstrip(b"\r\n")
-        head = pdf[max(0, m.start() - 400):m.start()]
-        if b"/FlateDecode" in head.rsplit(b"<<", 1)[-1]:
+        head = pdf[max(0, m.start() - 2048):m.start()]
+        # Find the opening '<<' of the object dictionary that CLOSES
+        # right before `stream` by scanning right-to-left and balancing
+        # '>>' against '<<' — a nested dict (e.g. /DecodeParms <<...>>)
+        # must not hide the /FlateDecode token, which can appear
+        # anywhere in the outer dict, so the naive "substring after the
+        # last '<<'" check is wrong.
+        depth = 0
+        open_at = None
+        if head.rstrip().endswith(b">>"):
+            for t in reversed(list(_re.finditer(rb"<<|>>", head))):
+                if t.group() == b">>":
+                    depth += 1
+                else:
+                    depth -= 1
+                    if depth == 0:
+                        open_at = t.start()
+                        break
+        if open_at is not None and b"/FlateDecode" in head[open_at:]:
             try:
                 body = zlib.decompress(body)
             except zlib.error:

@@ -203,8 +203,28 @@ def evt_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("v_us"),
     )
-    ck = c.withColumn("bkt", F.expr(f"c_us div {RANGE_WIN_US}"))
-    vb = F.expr(f"v_us div {RANGE_WIN_US}")
+    return range_join_counts_frame(c, v)
+
+
+def _floor_bkt(col: str):
+    """FLOOR division bucket, not SQL `div` (which truncates toward
+    zero): the pigeonhole completeness argument is floor-based, so a
+    negative (pre-1970) timestamp under `div` would land one bucket
+    high and qualifying pairs could miss their meeting key. Pure
+    integer: correct the truncated quotient down by one when the
+    remainder is negative (Spark % follows the dividend's sign)."""
+    return F.expr(
+        f"({col} div {RANGE_WIN_US}) - "
+        f"(CASE WHEN {col} % {RANGE_WIN_US} < 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def range_join_counts_frame(c: DataFrame, v: DataFrame) -> DataFrame:
+    """(click_id, user_id, c_us) × (user_id, v_us) → per-click count of
+    same-user views in (c_us - window, c_us). Frame-parametrized so the
+    negative-timestamp floor-bucket property is pytest-drivable."""
+    ck = c.withColumn("bkt", _floor_bkt("c_us"))
+    vb = _floor_bkt("v_us")
     vp = v.select(
         "user_id", "v_us",
         F.explode(F.array(vb, vb + F.lit(1))).alias("bkt"),

@@ -152,3 +152,33 @@ def test_write_invalidates_session_caches(spark, tmp_path, pages):
     assert table_source_key(spark, str(tmp_path)) not in cache
     assert frame.storageLevel.useMemory is False  # unpersisted
     assert cache[other_app] == "kept"  # other applications untouched
+
+
+def test_catalog_write_recovers_orphaned_old_copy(spark, pages):
+    """Crash-window recovery (ADVICE r4): a prior run that died between
+    rename-out and rename-in leaves only <name>__old. A retry whose
+    staging CTAS FAILS must still leave the previous data readable
+    under <name> — the old code dropped __old before the new staging
+    succeeded, leaving no copy at all."""
+    q = "spark_catalog.default"
+    names = ("rec_pages", "rec_pages__old", "rec_pages__staging")
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {q}.{t}")
+    prov = TableProvider(spark, root="/unused", catalog="spark_catalog")
+    try:
+        prov.write(pages, "rec_pages")
+        # simulate the crash window: live copy renamed aside
+        spark.sql(
+            f"ALTER TABLE {q}.rec_pages RENAME TO default.rec_pages__old"
+        )
+        poisoned = spark.range(1).select(F.expr("1 div 0").alias("doc_id"))
+        with pytest.raises(Exception):
+            prov.write(poisoned, "rec_pages")
+        # previous data restored and readable despite the failed CTAS
+        assert prov.read("rec_pages").count() == 20
+        # and a subsequent good write still swaps cleanly
+        prov.write(pages.limit(5), "rec_pages")
+        assert prov.read("rec_pages").count() == 5
+    finally:
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS {q}.{t}")

@@ -250,3 +250,63 @@ def test_label_propagation_finds_barbell_communities(spark):
     }
     assert {got[f"a{i}"] for i in range(5)} == {"a0"}
     assert {got[f"b{i}"] for i in range(5)} == {"b0"}
+
+
+def test_components_fixpoint_raises_at_cap(spark, monkeypatch):
+    """Cap exhaustion must RAISE, never return a partial labeling
+    (ADVICE r4): the oracle computes the true transitive-closure
+    fixpoint, so a silently non-converged result would diverge. Same
+    discipline kcore_fixpoint_frame already had."""
+    import pytest
+
+    from kg_covid_19_spark.plans import queries
+
+    monkeypatch.setattr(queries, "CC_FIXPOINT_MAX_ROUNDS", 2)
+    n = 8  # diameter 7 > 2-round cap
+    path_edges = spark.range(n - 1).select(
+        F.concat(F.lit("w"), F.format_string("%02d", F.col("id")))
+        .alias("subject"),
+        F.concat(F.lit("w"), F.format_string("%02d", F.col("id") + 1))
+        .alias("object"),
+    )
+    und = path_edges.unionAll(
+        path_edges.select(
+            F.col("object").alias("subject"),
+            F.col("subject").alias("object"),
+        )
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        queries.components_fixpoint_frame(und)
+
+
+def test_range_join_floor_buckets_handle_negative_timestamps(spark):
+    """Pre-1970 (negative-µs) timestamps: banding must stay FLOOR-based
+    so every qualifying pair still meets on an equi key (ADVICE r4 —
+    SQL `div` truncates toward zero, shifting negative buckets up one
+    and dropping pairs). Reference = the direct inequality join."""
+    from kg_covid_19_spark.streaming.events import (
+        RANGE_WIN_US,
+        range_join_counts_frame,
+    )
+
+    W = RANGE_WIN_US
+    c = spark.createDataFrame(
+        [("c1", "u", -1), ("c2", "u", -W), ("c3", "u", 5),
+         ("c4", "u", -2 * W + 7)],
+        "click_id string, user_id string, c_us long",
+    )
+    v = spark.createDataFrame(
+        [("u", -3), ("u", -W - 1), ("u", -W), ("u", 2), ("u", -2 * W)],
+        "user_id string, v_us long",
+    )
+    got = {r["click_id"]: r["n_views_10m"]
+           for r in range_join_counts_frame(c, v).collect()}
+    ref = {
+        r["click_id"]: r["n"]
+        for r in c.join(v, "user_id")
+        .filter((F.col("c_us") > F.col("v_us"))
+                & (F.col("c_us") - F.col("v_us") <= W))
+        .groupBy("click_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {k: ref.get(k, 0) for k in got}
+    assert got["c1"] == 3  # the negative-side pairs are really exercised

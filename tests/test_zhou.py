@@ -168,3 +168,21 @@ def test_registry_zhou_runs_from_sidecar(spark, tmp_path):
          "zhou_host_proteins"),
     ]
     assert edges.count() == 1
+
+
+def test_flatedecode_detected_through_nested_dict():
+    """A nested dict (/DecodeParms <<...>>) between /FlateDecode and
+    `stream` must not hide the filter token (ADVICE r4): detection
+    scans the whole still-open object dictionary via '<<'/'>>'
+    balancing, not just the substring after the LAST '<<'."""
+    import zlib
+
+    from kg_covid_19_spark.sources.zhou import _pdf_content_streams
+
+    body = zlib.compress(b"BT (hello) Tj ET")
+    pdf = b"%PDF-1.4\n" + (
+        b"1 0 obj << /Length %d /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 1 /Columns 4 >> >> stream\n"
+        b"%s\nendstream endobj\n" % (len(body), body)
+    ) + b"%%EOF\n"
+    assert _pdf_content_streams(pdf) == [b"BT (hello) Tj ET"]

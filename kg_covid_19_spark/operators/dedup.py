@@ -392,7 +392,15 @@ def _dedup_cluster_sql() -> str:
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+# 32-bit fingerprint: 16 bits saturate one decade up — at sf1's 50k
+# docs a 65536-value key space made hamming-1 buckets quadratically
+# heavy (3.8M "near-dup" pairs at sf0.1 were already ~30% birthday
+# collisions; sf1 would have produced ~100x that). 32 bits keeps the
+# k-probe count trivial (33/doc) while making random collisions
+# negligible at any corpus this engine targets; the DuckDB oracle CTE
+# below is generated from this same constant, so both engines move
+# together.
+SIMHASH_BITS = 32
 
 
 def _tok_hash(col: Column) -> Column:

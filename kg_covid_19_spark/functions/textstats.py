@@ -7,7 +7,7 @@ path must never touch Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.corpus import read_table, register_session_cache, table_source_key
@@ -175,27 +175,36 @@ def txt_len_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute the identical integer instead of trusting two
     libraries' interpolation conventions to round the same way.
 
-    Scale note: collect_list materializes one per-GROUP array — groups
-    here are languages (bounded), so the array is the stratum size; at
-    100 TB you'd swap in percentile_approx (t-digest) for the same
-    query shape and give up exactness, not restructure the plan."""
+    Scale shape (r5 — replaces the per-stratum collect_list): the
+    quantile is computed on the VALUE DOMAIN, never the corpus. One
+    partial-agg groupBy collapses the stratum to (lang, n_chars, cnt)
+    rows — bounded by the number of DISTINCT lengths, not documents —
+    then a window over that aggregated frame builds cumulative count
+    ranges [cum_start, cum_end) per value, and each decile position
+    p_k = k·(n−1) div 10 joins to the unique value whose range covers
+    it. The only per-stratum sequential step is the window over
+    distinct lengths (length domain is capped at any corpus size), so
+    no executor ever holds a stratum-sized array."""
     docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
-    arrs = docs.groupBy("lang").agg(
-        F.sort_array(F.collect_list("n_chars")).alias("arr"),
-        F.count("*").alias("n"),
-    )
+    vc = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cum = vc.select(
+        "lang", "n_chars", "cnt",
+        F.sum("cnt").over(w).alias("cum_end"),
+    ).withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+    n = vc.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    pos = n.select(
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(10))).alias("decile"),
+        F.col("n"),
+    ).select("lang", "decile", F.expr("decile * (n - 1) div 10").alias("p"))
     return (
-        arrs.select(
-            "lang", "arr", "n",
-            F.explode(F.sequence(F.lit(0), F.lit(10))).alias("decile"),
+        pos.join(cum, "lang")
+        .filter(
+            (F.col("p") >= F.col("cum_start"))
+            & (F.col("p") < F.col("cum_end"))
         )
-        .select(
-            "lang",
-            "decile",
-            F.expr(
-                "element_at(arr, CAST(decile * (n - 1) div 10 AS INT) + 1)"
-            ).alias("value"),
-        )
+        .select("lang", "decile", F.col("n_chars").alias("value"))
     )
 
 

@@ -327,3 +327,17 @@ def test_range_join_is_banded_equi_join(spark):
     plan = _executed_plan(evt_range_join_counts(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_len_deciles_has_no_stratum_array(spark):
+    """txt_len_deciles must compute quantiles on the VALUE DOMAIN —
+    no collect_list (stratum-sized per-group array) anywhere in the
+    plan, and the pre-window aggregate must be a partial (map-side)
+    hash aggregate over (lang, n_chars) so the shuffle carries distinct
+    lengths, not documents."""
+    from kg_covid_19_spark.functions.textstats import txt_len_deciles
+
+    plan = _executed_plan(txt_len_deciles(spark, SF_DIR))
+    assert "collect_list" not in plan, plan
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan

@@ -116,6 +116,7 @@ def main() -> int:
                 "rows_match": True, "schema_match": True,
                 "hash_match": None, "spark_rows": len(rows),
                 "oracle_rows": None, "err": None,
+                "spark_s": round(spark_t, 2), "duck_s": None,
             }
             continue
         t0 = time.time()
@@ -148,6 +149,7 @@ def main() -> int:
             "rows_match": ok_count, "schema_match": ok_schema,
             "hash_match": ok_hash, "spark_rows": len(rows),
             "oracle_rows": len(orows), "err": None,
+            "spark_s": round(spark_t, 2), "duck_s": round(duck_t, 2),
         }
         print(f"  {name}: {status} spark={len(rows)} duck={len(orows)} "
               f"schema={'OK' if ok_schema else f'{cols} vs {ocols}'} "

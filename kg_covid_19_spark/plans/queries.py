@@ -340,6 +340,120 @@ def _lp_sql() -> str:
     )
 
 
+LP_FIXPOINT_UNROLL = 16  # oracle unroll depth; Spark raises past it
+
+
+def kg_label_propagation_fixpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Convergence-loop twin of kg_label_propagation, with the
+    oscillation hazard designed OUT rather than detected: plain
+    semi-synchronous LP 2-cycles forever on bipartite ties (any
+    pendant edge pair swaps labels every round), so a changed==0 loop
+    would never terminate. The guard is MONOTONICITY — a node adopts
+    the argmax-count neighbor label (count DESC, label ASC, the same
+    total order as the bounded twin) only when that label is lexically
+    SMALLER than its own. Every change strictly lowers a label over a
+    finite domain, so convergence is guaranteed on any input; at the
+    fixpoint the update is a no-op, so an oracle unrolled to
+    LP_FIXPOINT_UNROLL rounds is EXACT whenever Spark converges within
+    that many rounds — and Spark raises if it doesn't (the
+    kcore_fixpoint discipline, never silent divergence). On degree-≤2
+    stretches the rule degenerates to hash-min CC; inside dense
+    communities the count-argmax dominates and community structure is
+    preserved (barbell pytest). Per-round localCheckpoint(eager) cuts
+    lineage — the unbounded-loop discipline."""
+    key = (*table_source_key(spark, sf_dir), "label_propagation_fixpoint")
+    if key not in _ITER_CACHE:
+        _, edges = get_kg(spark, sf_dir)
+        und = _undirected(
+            edges.filter(F.col("predicate") == "biolink:correlated_with")
+        )
+        _ITER_CACHE[key] = label_propagation_fixpoint_frame(und)
+    return _ITER_CACHE[key]
+
+
+def label_propagation_fixpoint_frame(und: DataFrame) -> DataFrame:
+    und = und.persist()  # loop-invariant: joined every round
+    lbl = (
+        und.select(F.col("subject").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LP_FIXPOINT_UNROLL):
+        best = (
+            und.join(lbl, und.object == lbl.id)
+            .select(und.subject.alias("id"), "lbl")
+            .groupBy("id", "lbl")
+            .agg(F.count("*").alias("c"))
+            .groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"),
+                             F.col("lbl").alias("l"))
+                ).alias("b")
+            )
+            .select("id", F.col("b.l").alias("best"))
+        )
+        new = (
+            lbl.join(best, "id")
+            .select("id", F.least("lbl", "best").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lbl.withColumnRenamed("lbl", "old"), "id")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"monotone label propagation did not converge within "
+            f"{LP_FIXPOINT_UNROLL} rounds — raise LP_FIXPOINT_UNROLL "
+            f"(and the oracle unroll with it)"
+        )
+    und.unpersist()
+    return lbl.select("id", F.col("lbl").alias("community"))
+
+
+def _lp_fixpoint_sql() -> str:
+    """Monotone-LP fixpoint as an over-unrolled CTE chain. AS
+    MATERIALIZED is load-bearing: q{k} is referenced twice per round
+    (message counts + the least() update), so default inlining would
+    expand the 16-round chain 2^16-fold — the DuckDB analog of the
+    lineage nesting the Spark side cuts with localCheckpoint."""
+    parts = [
+        """und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)""",
+        "q0 AS MATERIALIZED "
+        "(SELECT DISTINCT subject AS id, subject AS lbl FROM und)",
+    ]
+    for k in range(LP_FIXPOINT_UNROLL):
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT und.subject AS id, q{k}.lbl, "
+            f"count(*) AS c FROM und JOIN q{k} ON und.object = q{k}.id "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"q{k + 1} AS MATERIALIZED (SELECT q{k}.id, "
+            f"CASE WHEN b.lbl < q{k}.lbl THEN b.lbl ELSE q{k}.lbl END "
+            f"AS lbl FROM q{k} JOIN (SELECT id, lbl FROM ("
+            f"SELECT id, lbl, row_number() OVER (PARTITION BY id "
+            f"ORDER BY c DESC, lbl ASC) AS rn FROM n{k}) WHERE rn = 1) b "
+            f"ON q{k}.id = b.id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, lbl AS community FROM q{LP_FIXPOINT_UNROLL}"
+    )
+
+
 AA_MAX_DEG = 1024
 
 
@@ -1322,6 +1436,7 @@ KG_QUERIES = {
     "kg_resource_allocation": kg_resource_allocation,
     "kg_adamic_adar": kg_adamic_adar,
     "kg_label_propagation": kg_label_propagation,
+    "kg_label_propagation_fixpoint": kg_label_propagation_fixpoint,
     "kg_components": kg_components,
     "kg_components_fixpoint": kg_components_fixpoint,
     "kg_kcore_fixpoint": kg_kcore_fixpoint,
@@ -1564,6 +1679,10 @@ WITH {_CTE},
     "kg_label_propagation": f"""
 WITH {_CTE},
 {_lp_sql()}
+""",
+    "kg_label_propagation_fixpoint": f"""
+WITH {_CTE},
+{_lp_fixpoint_sql()}
 """,
     "kg_components": f"""
 WITH {_CTE},

@@ -310,3 +310,75 @@ def test_range_join_floor_buckets_handle_negative_timestamps(spark):
     }
     assert got == {k: ref.get(k, 0) for k in got}
     assert got["c1"] == 3  # the negative-side pairs are really exercised
+
+
+def test_label_propagation_fixpoint_communities_and_convergence(spark):
+    """Monotone-LP fixpoint: (a) keeps barbell community structure like
+    the bounded twin; (b) converges on its own on a pendant-pair graph
+    where PLAIN semi-sync LP 2-cycles forever (the oscillation the
+    monotone guard designs out); (c) collapses a long path to hash-min
+    CC (the degree-<=2 degeneration the docstring states)."""
+    from kg_covid_19_spark.plans.queries import (
+        label_propagation_fixpoint_frame,
+    )
+
+    def und_of(edges):
+        e = spark.createDataFrame(edges, "subject string, object string")
+        return e.unionAll(
+            e.select(F.col("object").alias("subject"),
+                     F.col("subject").alias("object"))
+        )
+
+    def clique(prefix, n):
+        return [
+            (f"{prefix}{i}", f"{prefix}{j}")
+            for i in range(n) for j in range(n) if i < j
+        ]
+
+    # (a) barbell: two 5-cliques + bridge
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation_fixpoint_frame(
+            und_of(clique("a", 5) + clique("b", 5) + [("a0", "b0")])
+        ).collect()
+    }
+    assert {got[f"a{i}"] for i in range(5)} == {"a0"}
+    # monotone rule lets the bridge endpoint keep the lower community's
+    # label; the rest of the b-clique must still agree on one community
+    assert {got[f"b{i}"] for i in range(1, 5)} == {"b0"}
+
+    # (b) pendant pair: plain LP swaps u<->v forever; monotone converges
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation_fixpoint_frame(
+            und_of([("u", "v")])
+        ).collect()
+    }
+    assert got == {"u": "u", "v": "u"}
+
+    # (c) 9-path -> single community at the min label
+    path = [(f"p{i}", f"p{i+1}") for i in range(8)]
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation_fixpoint_frame(und_of(path)).collect()
+    }
+    assert set(got.values()) == {"p0"}
+
+
+def test_label_propagation_fixpoint_raises_at_cap(spark, monkeypatch):
+    """Cap exhaustion raises (kcore discipline) instead of silently
+    returning a non-fixpoint labeling the over-unrolled oracle would
+    diverge from."""
+    import pytest
+
+    from kg_covid_19_spark.plans import queries
+
+    monkeypatch.setattr(queries, "LP_FIXPOINT_UNROLL", 1)
+    path = [(f"q{i}", f"q{i+1}") for i in range(6)]
+    e = spark.createDataFrame(path, "subject string, object string")
+    und = e.unionAll(
+        e.select(F.col("object").alias("subject"),
+                 F.col("subject").alias("object"))
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        queries.label_propagation_fixpoint_frame(und)

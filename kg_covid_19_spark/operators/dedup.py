@@ -611,6 +611,77 @@ def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_NGRAMS_MG_CAPACITY = 4096  # per-partition counter budget, phase 1
+DUP_NGRAMS_HEAVY_MIN = 3       # claim threshold; production sets this
+                               # above N/(capacity+1) (see docstring)
+
+
+def doc_dup_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded twin of doc_dup_ngrams — the scale path for the ONE
+    remaining corpus-keyed shuffle (SCALE.md row): exact substring
+    dedup inherently shuffles every shingle; boilerplate STRIPPING only
+    needs the heavy tail, and that is findable with bounded state.
+
+    Two-phase heavy-shingle plan:
+
+    * **Phase 1 (bounded state, no shuffle of the corpus):**
+      per-partition Misra-Gries summaries over the shingle stream
+      (≤DUP_NGRAMS_MG_CAPACITY counters each, the txt_top_tokens_approx
+      kernel — vectorized batch merge, O(capacity) partition state),
+      one summary-sized groupBy to merge. Candidates ≤
+      capacity·partitions rows regardless of corpus size.
+    * **Phase 2 (exact recount of candidates only):** broadcast the
+      candidate set, semi-join the shingle stream, and recount
+      exactly — the shuffle now carries ONLY candidate-matching
+      shingles, and every count in the output is exact, not estimated.
+
+    Approximation contract: output = shingles with ≥2 docs and
+    n_occurrences ≥ DUP_NGRAMS_HEAVY_MIN, complete whenever the
+    threshold exceeds the merged Misra-Gries undercount bound
+    N/(capacity+1) (N = total shingles) — the usual heavy-hitter
+    guarantee, pinned by the bracket pytest. No DuckDB oracle on
+    purpose: phase-1 summary contents depend on partition boundaries,
+    so the driver records the rows-only check (the
+    txt_top_tokens_approx contract)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(_ngrams(F.col("text"), DECON_N)).alias("ng")
+    )
+    return _dup_ngrams_approx_frame(
+        sh, DUP_NGRAMS_MG_CAPACITY, DUP_NGRAMS_HEAVY_MIN
+    )
+
+
+def _dup_ngrams_approx_frame(
+    sh: DataFrame, capacity: int, heavy_min: int
+) -> DataFrame:
+    """(doc_id, ng) shingle frame → heavy duplicated shingles;
+    frame-parametrized for the undercount-bracket pytest."""
+    from ..functions.textstats import _mg_kernel
+
+    summaries = sh.select(F.col("ng").alias("token")).mapInPandas(
+        _mg_kernel(capacity), "token string, n_lb long"
+    )
+    heavy = (
+        summaries.groupBy("token")
+        .agg(F.sum("n_lb").alias("n_est"))
+        .select(F.col("token").alias("ng"))
+    )
+    return (
+        sh.join(F.broadcast(heavy), "ng")
+        .groupBy("ng")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2)
+            & (F.col("n_occurrences") >= heavy_min)
+        )
+        .select(F.md5("ng").alias("ngram_hash"), "n_docs", "n_occurrences")
+    )
+
+
 _SIMHASH_CTE = f"""{DEDUP_CORPUS_CTE},
 toks AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h
@@ -725,6 +796,7 @@ DEDUP_QUERIES = {
     "doc_simhash_clusters": simhash_clusters,
     "doc_simhash_neardup": simhash_neardup_pairs,
     "doc_dup_ngrams": doc_dup_ngrams,
+    "doc_dup_ngrams_approx": doc_dup_ngrams_approx,
     "doc_decontaminate": doc_decontaminate,
     "doc_minhash_jaccard_est": minhash_jaccard_estimate,
     "doc_dedup_clusters": doc_dedup_clusters,

@@ -183,3 +183,60 @@ def test_shingle_kernel_matches_column_form(spark):
     want = {r["doc_id"]: sorted(r["k"]) for r in
             df.select("doc_id", _shingles(F.col("text")).alias("k")).collect()}
     assert got == want
+
+
+def test_dup_ngrams_approx_is_sound_subset_with_exact_counts(spark):
+    """Soundness is UNCONDITIONAL (phase 2 recounts candidates
+    exactly): every shingle the approx twin reports must appear in
+    doc_dup_ngrams with IDENTICAL n_docs/n_occurrences and clear the
+    claim threshold. Completeness is the conditional half — covered by
+    the planted-bracket test below, since the merged Misra-Gries bound
+    N/(capacity+1) can exceed the threshold on few-partition inputs."""
+    from conftest import SF_DIR
+
+    from kg_covid_19_spark.operators.dedup import (
+        DUP_NGRAMS_HEAVY_MIN,
+        doc_dup_ngrams,
+        doc_dup_ngrams_approx,
+    )
+
+    exact = {
+        r.ngram_hash: (r.n_docs, r.n_occurrences)
+        for r in doc_dup_ngrams(spark, SF_DIR).collect()
+        if r.n_occurrences >= DUP_NGRAMS_HEAVY_MIN
+    }
+    approx = {
+        r.ngram_hash: (r.n_docs, r.n_occurrences)
+        for r in doc_dup_ngrams_approx(spark, SF_DIR).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(approx[k] == exact[k] for k in approx)
+    assert approx  # non-vacuous at sf0.01
+
+
+def test_dup_ngrams_approx_undercount_bracket(spark):
+    """Planted heavy shingle with a capacity far below the shingle
+    vocabulary: the boilerplate shingle must surface with its EXACT
+    count (phase-2 recount) whenever its frequency clears the merged
+    Misra-Gries bound N/(capacity+1), and cold shingles below the
+    claim threshold must not appear."""
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.operators.dedup import _dup_ngrams_approx_frame
+
+    n_hot, n_cold, cap, heavy_min = 500, 4000, 16, 100
+    rows = (
+        [(i % 50, "hot boilerplate shingle") for i in range(n_hot)]
+        + [(i % 50, f"cold unique shingle {i:05d}") for i in range(n_cold)]
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, ng string").repartition(4)
+    n_total = n_hot + n_cold
+    assert n_hot > n_total // (cap + 1)  # bound satisfied by the plant
+    got = {
+        r.ngram_hash: (r.n_docs, r.n_occurrences)
+        for r in _dup_ngrams_approx_frame(sh, cap, heavy_min).collect()
+    }
+    import hashlib
+
+    hot_hash = hashlib.md5(b"hot boilerplate shingle").hexdigest()
+    assert got == {hot_hash: (50, n_hot)}

@@ -92,11 +92,147 @@ def connected_edge_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def holdout_connected_split_counts(spark: SparkSession, sf_dir: str
-                                   ) -> DataFrame:
-    """Split sizes for the coverage-preserving variant."""
+def holdout_coverage_split_counts(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Split sizes for the cheap coverage-preserving variant."""
     return (
         connected_edge_splits(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+FOREST_BFS_UNROLL = 16  # BFS relaxation rounds; raise past it
+
+
+def spanning_forest_hashes(edges_h: DataFrame) -> DataFrame:
+    """Deterministic spanning forest of the (subject, object, h)
+    multigraph → one-column frame of forest edge hashes.
+
+    The exact ensmallen ``random_holdout`` semantics class (reference
+    make_holdouts.py:59-75): the training split must contain a
+    spanning tree of every component, not merely one incident edge per
+    node. Construction is fully deterministic and distributed:
+
+    1. components via the hash-min fixpoint machinery
+       (``components_fixpoint_frame`` — the component id is the min
+       reachable node id, so the component ROOT is the node equal to
+       its own label);
+    2. multi-source BFS distances by min-relaxation from all roots at
+       once (localCheckpoint per round, changed==0 termination,
+       raise past FOREST_BFS_UNROLL — the fixpoint discipline);
+    3. every non-root picks its minimum-hash edge to a neighbor one
+       level closer to the root. Parent edges strictly decrease the
+       level, so the picked set is acyclic, has exactly
+       |V| − |components| edges, and spans every component.
+
+    Two nodes can never pick the same edge (their levels would have to
+    differ by one in both directions), so no dedup pass is needed —
+    but the output is DISTINCT h anyway for multigraph clarity."""
+    und = (
+        edges_h.select(
+            F.col("subject").alias("a"), F.col("object").alias("b"), "h"
+        )
+        .unionAll(
+            edges_h.select(
+                F.col("object").alias("a"), F.col("subject").alias("b"), "h"
+            )
+        )
+        .persist()
+    )
+    from ..plans.queries import components_fixpoint_frame
+
+    comp = components_fixpoint_frame(
+        und.select(F.col("a").alias("subject"), F.col("b").alias("object"))
+    )
+    dist = comp.select(
+        "id",
+        F.when(F.col("id") == F.col("component"), F.lit(0))
+        .cast("int")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(FOREST_BFS_UNROLL):
+        nbr = (
+            und.join(dist, und.b == dist.id)
+            .filter(F.col("d").isNotNull())
+            .select(und.a.alias("id"), (F.col("d") + 1).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        # explicit null-aware min (identical CASE runs in the oracle —
+        # engines differ on whether least() ignores NULLs)
+        new = (
+            dist.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("d").isNull(), F.col("nd"))
+                .when(F.col("nd").isNull(), F.col("d"))
+                .when(F.col("nd") < F.col("d"), F.col("nd"))
+                .otherwise(F.col("d"))
+                .alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                dist.withColumnRenamed("d", "old"), "id"
+            )
+            .filter(~F.col("d").eqNullSafe(F.col("old")))
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"multi-source BFS did not converge within "
+            f"{FOREST_BFS_UNROLL} rounds — raise FOREST_BFS_UNROLL "
+            f"(and the oracle unroll with it)"
+        )
+    da = dist.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = dist.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    forest = (
+        und.join(da, "a")
+        .join(db, "b")
+        .filter(F.col("da") == F.col("db") + 1)
+        .groupBy("a")
+        .agg(F.min("h").alias("h"))
+        .select("h")
+        .distinct()
+    )
+    out = forest.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
+def forest_edge_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected-holdout: spanning-forest edges forced into
+    train, the rest hash-split 8/1/1 — the reference's
+    ``random_holdout`` guarantee (training graph connected per
+    component) by algorithm, not by the weaker one-edge-per-node
+    variant."""
+    _, edges = get_merged(spark, sf_dir)
+    h = F.md5(F.concat_ws("|", "subject", "predicate", "object"))
+    e = edges.select("subject", "predicate", "object", h.alias("h"))
+    forest = spanning_forest_hashes(e).withColumn("forced", F.lit(True))
+    b = _bucket10("subject", "predicate", "object")
+    return e.join(forest, "h", "left").select(
+        "subject",
+        "predicate",
+        "object",
+        F.when(F.col("forced"), "train")
+        .when(b <= 7, "train")
+        .when(b == 8, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def holdout_connected_split_counts(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Split sizes for the exact spanning-forest holdout."""
+    return (
+        forest_edge_splits(spark, sf_dir)
         .groupBy("split")
         .agg(F.count("*").alias("n"))
     )
@@ -286,6 +422,45 @@ def holdout_negatives_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _forest_dist_sql() -> str:
+    """Unrolled multi-source-BFS min-relaxation chain (MATERIALIZED —
+    each d{k} is referenced twice per round, the LP/kcore inlining
+    hazard) ending in the spanning-forest hash set. Shares the exact
+    CASE null-handling with the Spark loop so neither engine depends
+    on its least()-vs-NULL convention."""
+    parts = [
+        "vtx AS (SELECT DISTINCT a AS id FROM und)",
+        """reach AS (
+  SELECT id, id AS r FROM vtx
+  UNION
+  SELECT und.a AS id, reach.r AS r FROM und JOIN reach ON und.b = reach.id
+)""",
+        "comps AS MATERIALIZED (SELECT id, min(r) AS comp FROM reach "
+        "GROUP BY id)",
+        "d0 AS MATERIALIZED (SELECT id, CASE WHEN id = comp THEN 0 END "
+        "AS d FROM comps)",
+    ]
+    for k in range(FOREST_BFS_UNROLL):
+        parts.append(
+            f"d{k + 1} AS MATERIALIZED (SELECT dk.id, "
+            f"CASE WHEN dk.d IS NULL THEN m.nd "
+            f"WHEN m.nd IS NULL THEN dk.d "
+            f"WHEN m.nd < dk.d THEN m.nd ELSE dk.d END AS d "
+            f"FROM d{k} dk LEFT JOIN ("
+            f"SELECT und.a AS id, min(dx.d + 1) AS nd "
+            f"FROM und JOIN d{k} dx ON und.b = dx.id "
+            f"WHERE dx.d IS NOT NULL GROUP BY und.a) m ON dk.id = m.id)"
+        )
+    last = f"d{FOREST_BFS_UNROLL}"
+    parts.append(
+        f"forest AS MATERIALIZED (SELECT DISTINCT h FROM ("
+        f"SELECT u.a, min(u.h) AS h FROM und u "
+        f"JOIN {last} x ON u.a = x.id JOIN {last} y ON u.b = y.id "
+        f"WHERE x.d = y.d + 1 GROUP BY u.a))"
+    )
+    return ",\n".join(parts)
+
+
 def holdout_oracles(merged_cte: str) -> dict[str, str]:
     return {
         "holdout_split_counts": f"""
@@ -299,7 +474,7 @@ tagged AS (
 )
 SELECT split, count(*) AS n FROM tagged GROUP BY split
 """,
-        "holdout_connected_split_counts": f"""
+        "holdout_coverage_split_counts": f"""
 WITH {merged_cte},
 e AS (
   SELECT subject, predicate, object,
@@ -316,6 +491,29 @@ forced AS (
 tagged AS (
   SELECT CASE
     WHEN e.h IN (SELECT h FROM forced) THEN 'train'
+    WHEN ('0x' || substr(e.h, 1, 15))::UBIGINT % 10 <= 7 THEN 'train'
+    WHEN ('0x' || substr(e.h, 1, 15))::UBIGINT % 10 = 8 THEN 'valid'
+    ELSE 'test' END AS split
+  FROM e
+)
+SELECT split, count(*) AS n FROM tagged GROUP BY split
+""",
+        "holdout_connected_split_counts": f"""
+WITH RECURSIVE {merged_cte},
+e AS (
+  SELECT subject, predicate, object,
+         md5(subject || '|' || predicate || '|' || object) AS h
+  FROM merged_edges
+),
+und AS (
+  SELECT subject AS a, object AS b, h FROM e
+  UNION ALL
+  SELECT object AS a, subject AS b, h FROM e
+),
+{_forest_dist_sql()},
+tagged AS (
+  SELECT CASE
+    WHEN e.h IN (SELECT h FROM forest) THEN 'train'
     WHEN ('0x' || substr(e.h, 1, 15))::UBIGINT % 10 <= 7 THEN 'train'
     WHEN ('0x' || substr(e.h, 1, 15))::UBIGINT % 10 = 8 THEN 'valid'
     ELSE 'test' END AS split
@@ -387,6 +585,7 @@ FROM negs
 
 HOLDOUT_QUERIES = {
     "holdout_split_counts": holdout_split_counts,
+    "holdout_coverage_split_counts": holdout_coverage_split_counts,
     "holdout_connected_split_counts": holdout_connected_split_counts,
     "holdout_negative_edges": holdout_negative_edges,
     "holdout_negatives_fullscale": holdout_negatives_fullscale,

@@ -311,3 +311,73 @@ def test_kgx_partitioned_write_prunes(spark, tmp_path):
     got = rd.filter(F.col("category") == "biolink:Publication").count()
     want = nodes.filter(F.col("category") == "biolink:Publication").count()
     assert got == want
+
+
+def test_forest_split_keeps_train_graph_connected(spark):
+    """Exact ensmallen random_holdout semantics (reference
+    make_holdouts.py:59-75): the TRAIN split must contain a spanning
+    tree of every component — components computed over train edges
+    alone must equal components over all edges — while the splits
+    stay a disjoint partition near 0.8/0.1/0.1 of the non-forest
+    remainder."""
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.operators.holdouts import forest_edge_splits
+    from kg_covid_19_spark.plans.queries import components_fixpoint_frame
+
+    splits = forest_edge_splits(spark, SF_DIR).cache()
+    total = splits.count()
+    by = {r["split"]: r["n"] for r in
+          splits.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == total  # disjoint partition
+    assert 0.70 <= by["train"] / total  # forest forcing only adds to train
+    assert by["valid"] / total <= 0.2 and by["test"] / total <= 0.2
+
+    def comps(edge_df):
+        und = edge_df.select("subject", "object").unionAll(
+            edge_df.select(F.col("object").alias("subject"),
+                           F.col("subject").alias("object"))
+        )
+        return {
+            r["id"]: r["component"]
+            for r in components_fixpoint_frame(und).collect()
+        }
+
+    full = comps(splits)
+    train = comps(splits.filter(F.col("split") == "train"))
+    assert train == full  # same node set AND same component labels
+    splits.unpersist()
+
+
+def test_spanning_forest_is_exact_tree_per_component(spark):
+    """On a handcrafted two-component multigraph the forest must have
+    exactly |V| - |components| edges, include no cycle, and pick the
+    min-hash parallel edge deterministically."""
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.operators.holdouts import spanning_forest_hashes
+
+    rows = [
+        # component 1: square with a diagonal + a parallel edge
+        ("n1", "p", "n2"), ("n2", "p", "n3"), ("n3", "p", "n4"),
+        ("n4", "p", "n1"), ("n1", "p", "n3"), ("n1", "q", "n2"),
+        # component 2: a pendant pair
+        ("m1", "p", "m2"),
+    ]
+    e = spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    ).withColumn(
+        "h", F.md5(F.concat_ws("|", "subject", "predicate", "object"))
+    )
+    forest = {r["h"] for r in spanning_forest_hashes(e).collect()}
+    assert len(forest) == 6 - 2  # |V|=6, two components
+    # parallel n1-n2 edges: exactly the min-hash one may be picked
+    h_p = e.filter(
+        (F.col("subject") == "n1") & (F.col("predicate") == "p")
+        & (F.col("object") == "n2")
+    ).collect()[0]["h"]
+    h_q = e.filter(F.col("predicate") == "q").collect()[0]["h"]
+    assert not (h_p in forest and h_q in forest)
+    # component 2's only edge is forced
+    h_m = e.filter(F.col("subject") == "m1").collect()[0]["h"]
+    assert h_m in forest

@@ -41,18 +41,99 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray / RGB / RGBA
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode → (width, height, channels, raw pixels).
+
+    Real decoding, no codec libraries: chunk walk, IHDR parse, IDAT
+    concat + zlib inflate, and per-scanline reversal of the five PNG
+    filters (None/Sub/Up/Average/Paeth). Supports the non-interlaced
+    8-bit gray/RGB/RGBA profiles; palette, 16-bit and Adam7 images
+    raise NotImplementedError — that residue (like OCR-only PDFs in
+    sources/zhou.py) genuinely needs a full codec library."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG byte stream")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG profile (depth={depth}, color={color}, "
+                    f"interlace={interlace}) needs a full codec library"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    out = bytearray(height * stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        prev = out[(y - 1) * stride:y * stride] if y else bytes(stride)
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+    return width, height, ch, bytes(out)
+
+
 def decode_media(data: bytes, decoder: str = "fake-v1") -> tuple[int, int]:
     """Decode media bytes → (width, height).
 
-    Only the deterministic fake decoder exists in this environment; a real
-    image decode (PIL.Image.open → .size) plugs in here.
+    'fake-v1' is the deterministic stub the oracle-paired queries run
+    on (no codecs assumed); 'png-v1' is a REAL pure-stdlib PNG decode
+    (full pixel decode, not just header sniffing — errors in IDAT or
+    filters surface here). Other formats (JPEG, video) still need
+    libraries absent from this container.
     """
     if decoder == "fake-v1":
         n = len(data)
         return (n % 640) + 1, (n // 640) + 1
+    if decoder == "png-v1":
+        w, h, _ch, _px = decode_png(data)
+        return w, h
     raise NotImplementedError(
         f"decoder {decoder!r} requires media libraries not present in this "
-        "container; only 'fake-v1' (deterministic stub) is available"
+        "container; 'fake-v1' (deterministic stub) and 'png-v1' "
+        "(pure-stdlib PNG) are available"
     )
 
 
@@ -96,26 +177,41 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction kernel shape: binary → fixed-dim float vector.
+def _png_luma_hist_ppm(data: bytes) -> str:
+    """REAL pixel features: 8-bin luminance histogram (ppm) over the
+    decoded PNG — same output shape as the fake path (8 comma-joined
+    integers), so downstream plumbing is decoder-agnostic."""
+    _w, _h, ch, px = decode_png(data)
+    bins = [0] * 8
+    if ch == 1:
+        for v in px:
+            bins[v >> 5] += 1
+        n = len(px)
+    else:
+        n = len(px) // ch
+        for i in range(0, len(px), ch):
+            bins[((px[i] + px[i + 1] + px[i + 2]) // 3) >> 5] += 1
+    return ",".join(str(b * 1_000_000 // max(n, 1)) for b in bins)
 
-    The fake extractor decodes the bytes (utf-8 here) and emits the
-    frequency of 8 marker characters in integer parts-per-million —
-    deterministic, and exactly what a CLIP-style embedder's plumbing
-    looks like (binary in, fixed-dim vector out, one Arrow batch per
-    partition chunk). Integer ppm (not rounded floats) so the DuckDB
-    oracle compares exactly — float rounding ties differ between
-    Python (banker's) and SQL (half-away-from-zero)."""
+
+def media_features_frame(frame: DataFrame,
+                         decoder: str = "fake-v1") -> DataFrame:
+    """(doc_id, media) frame → 8-dim integer-ppm features."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = pdf["media"].map(lambda b: bytes(b).decode("utf-8"))
-            feats = texts.map(
-                lambda t: ",".join(
-                    str(t.count(c) * 1_000_000 // max(len(t), 1))
-                    for c in FEATURE_CHARS
+            if decoder == "png-v1":
+                feats = pdf["media"].map(
+                    lambda b: _png_luma_hist_ppm(bytes(b))
                 )
-            )
+            else:
+                texts = pdf["media"].map(lambda b: bytes(b).decode("utf-8"))
+                feats = texts.map(
+                    lambda t: ",".join(
+                        str(t.count(c) * 1_000_000 // max(len(t), 1))
+                        for c in FEATURE_CHARS
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -124,7 +220,21 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             ).astype({"dim": "int32"})
 
-    return media_frame(spark, sf_dir).mapInPandas(extract, FEATURES_SCHEMA)
+    return frame.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction kernel shape: binary → fixed-dim vector.
+
+    The registered (oracle-paired) path uses the fake extractor over
+    utf-8 bytes — frequency of 8 marker characters in integer
+    parts-per-million — deterministic, and exactly what a CLIP-style
+    embedder's plumbing looks like (binary in, fixed-dim vector out,
+    one Arrow batch per partition chunk). Integer ppm (not rounded
+    floats) so the DuckDB oracle compares exactly. The SAME kernel
+    runs a real luminance histogram when decoder='png-v1'
+    (media_features_frame — pinned by the real-PNG pytest)."""
+    return media_features_frame(media_frame(spark, sf_dir))
 
 
 RESIZE_SCHEMA = StructType(
@@ -137,19 +247,36 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def media_resize(spark: SparkSession, sf_dir: str, w: int = 64, h: int = 64
-                 ) -> DataFrame:
-    """Resize kernel shape: binary in → resized binary out (projected to
-    its size here so the oracle stays exact). The fake resize crops/pads
-    the byte stream to w*h — the plumbing (mapInPandas over the binary
-    column, fixed output dims) is what a real PIL/ffmpeg resize uses."""
+def png_resize_nearest(data: bytes, w: int, h: int) -> bytes:
+    """Real nearest-neighbor resize of a decoded PNG → raw pixel
+    buffer of w*h*channels bytes."""
+    in_w, in_h, ch, px = decode_png(data)
+    out = bytearray(w * h * ch)
+    for y in range(h):
+        sy = y * in_h // h
+        for x in range(w):
+            sx = x * in_w // w
+            src = (sy * in_w + sx) * ch
+            dst = (y * w + x) * ch
+            out[dst:dst + ch] = px[src:src + ch]
+    return bytes(out)
+
+
+def media_resize_frame(frame: DataFrame, w: int, h: int,
+                       decoder: str = "fake-v1") -> DataFrame:
+    """(doc_id, media) frame → resized output dims + byte count."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = w * h
         for pdf in batches:
-            out = pdf["media"].map(
-                lambda b: len(bytes(b)[:target].ljust(target, b"\0"))
-            )
+            if decoder == "png-v1":
+                out = pdf["media"].map(
+                    lambda b: len(png_resize_nearest(bytes(b), w, h))
+                )
+            else:
+                out = pdf["media"].map(
+                    lambda b: len(bytes(b)[:target].ljust(target, b"\0"))
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -159,7 +286,19 @@ def media_resize(spark: SparkSession, sf_dir: str, w: int = 64, h: int = 64
                 }
             ).astype({"out_w": "int32", "out_h": "int32", "out_bytes": "int32"})
 
-    return media_frame(spark, sf_dir).mapInPandas(resize, RESIZE_SCHEMA)
+    return frame.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def media_resize(spark: SparkSession, sf_dir: str, w: int = 64, h: int = 64
+                 ) -> DataFrame:
+    """Resize kernel shape: binary in → resized binary out (projected to
+    its size here so the oracle stays exact). The registered path fakes
+    the resize by cropping/padding the byte stream to w*h; the SAME
+    kernel performs a real nearest-neighbor pixel resize when
+    decoder='png-v1' (media_resize_frame — pinned by the real-PNG
+    pytest). The plumbing (mapInPandas over the binary column, fixed
+    output dims) is identical either way."""
+    return media_resize_frame(media_frame(spark, sf_dir), w, h)
 
 
 FRAME_BYTES = 4096

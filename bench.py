@@ -30,6 +30,14 @@ from kg_covid_19_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# One decade above the driver's largest scale: the deterministic sf1
+# replica set (tools/gen_testdata.py). When present, the KG chain is
+# re-timed there so every BENCH round carries a 10x data point.
+SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "sf1"),
+)
+
 BENCH_QUERIES = [
     "kg_category_counts",
     "kg_provided_by_counts",
@@ -332,6 +340,37 @@ def main() -> None:
 
     total = sum(queries.values())
     slices = _scale_slices(spark)
+
+    # sf1 decade-up point: the same frozen KG chain, same session, on
+    # the 10x replica set — reported under "sf1" so round files carry
+    # wall times one decade above the driver's largest scale.
+    sf1: dict = {}
+    if os.path.isdir(SF1_DIR) and os.path.realpath(
+        SF1_DIR
+    ) != os.path.realpath(SF_DIR):
+        t0 = time.time()
+        n1, e1 = get_kg(spark, SF1_DIR)
+        sf1_build = time.time() - t0
+        sf1_edges = e1.count()
+        q1: dict[str, float] = {"kg_build": round(sf1_build, 3)}
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            KG_QUERIES[name](spark, SF1_DIR).agg(F.count("*")).collect()
+            q1[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        kg_openie_triples(spark, SF1_DIR).agg(F.count("*")).collect()
+        q1["kg_openie_triples"] = round(time.time() - t0, 3)
+        sf1 = {
+            "sf1": {
+                "value": round(
+                    sum(q1[n] for n in R01_HEADLINE_QUERIES), 3
+                ),
+                "queries": q1,
+                "n_edges": sf1_edges,
+                "triples_per_sec": round(sf1_edges / sf1_build, 1),
+            }
+        }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -349,6 +388,7 @@ def main() -> None:
                 "docs_per_sec": round(n_docs / build_sec, 1),
                 **calib,
                 "slices": slices,
+                **sf1,
                 **_calibrated_vs_prev(queries, calib),
             }
         )

@@ -197,6 +197,53 @@ def make_bucket_udf():
     return all_buckets
 
 
+GEMM_GUARD = 1e-6  # prefilter margin — 9 orders above any fp-order drift
+
+
+def make_bucket_pairs_kernel(threshold: float):
+    """applyInPandas kernel: ONE LSH bucket's vectors → candidate id
+    pairs whose BLAS-estimated cosine clears ``threshold − GEMM_GUARD``.
+
+    This replaces the (ids-only self-join → 200M-row dropDuplicates →
+    vector re-join → Arrow pair verify) chain whose cost at sf1 was
+    dominated by shuffling the quadratic candidate set and shipping
+    two 64-double vectors per candidate through Arrow (measured: 202 s
+    for the dedup exchange alone, 363 s end-to-end). Here the
+    quadratic object NEVER leaves the task that created it: each
+    bucket's vectors cross Arrow once (|bucket| rows), one BLAS GEMM
+    scores all pairs in-core, and only near-threshold survivors (a few
+    rows per hot doc) are emitted into the dedup.
+
+    GEMM uses blocked/pairwise summation, so its sums differ from the
+    sequential fold the oracle and the exact verify use by ~1e-15 —
+    which is why it is only a PREFILTER with a 1e-6 guard band: no
+    pair whose exact cosine clears the threshold can be dropped, and
+    every emitted pair is re-scored by the order-exact pair kernel
+    before the final exact threshold. Output is bit-identical to the
+    pre-optimization plan at every scale."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        M = np.stack(pdf["v"].to_numpy())
+        M = M / pdf["nrm"].to_numpy()[:, None]
+        S = M @ M.T
+        ids = pdf["vec_id"].to_numpy()
+        iu, ju = np.triu_indices(n, k=1)
+        mask = S[iu, ju] >= threshold - GEMM_GUARD
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[iu[mask]], ids[ju[mask]]),
+                "id_b": np.maximum(ids[iu[mask]], ids[ju[mask]]),
+            }
+        )
+
+    return kernel
+
+
 def make_pair_cos_udf():
     """Arrow kernel for the exact-cosine verify over candidate pairs:
     dot accumulated sequentially over dims (vectorized over pairs),
@@ -259,30 +306,30 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.63 to >0.9, so far fewer tables buy the same recall — the 0.4
     threshold here is the adversarially hard case.
     """
-    # one narrow pass computes every table key; one posexplode + one
-    # self-join on the composite (table, key) replaces N_TABLES unioned
-    # joins — same candidate set, a single exchange. At 100 TB the
-    # shuffle carries (t, key, vec_id, v); if vector width dominated,
-    # the variant that shuffles ids only and re-joins vectors from the
-    # bucketed store is the same plan with one extra co-located join.
-    # The candidate join carries IDS ONLY — (t, bk, vec_id) rows of a
-    # few bytes. Pre-dedup bucket-join output is quadratic in bucket
-    # size, so dragging the 64-double vectors through it multiplies the
-    # heaviest intermediate by ~50×; instead the deduped pair list
-    # re-joins the (broadcastable-per-bucket) vector table twice.
+    # one narrow pass computes every table key; one posexplode groups
+    # vectors by the composite (table, key). The quadratic candidate
+    # set is scored INSIDE each bucket's task by a BLAS GEMM prefilter
+    # (make_bucket_pairs_kernel) and never shuffled: the r5 sf1
+    # profile showed the previous ids-only self-join spending 202 s
+    # just deduplicating 206M candidate rows before verifying 127M
+    # pairs through Arrow. Now only near-threshold survivors (≈0.05%
+    # of candidates here) reach the dedup + exact verify, and the
+    # exchange carries |V|·N_TABLES vector rows once. The per-task
+    # working set stays quadratic in BUCKET size — exactly the bound
+    # the old join had — and a hot bucket is the same AQE-skew case.
+    # The GEMM is a prefilter only (guard band 1e-6): every emitted
+    # pair is re-scored by the order-exact Arrow pair kernel below, so
+    # results are bit-identical to the join-based plan.
     # Norms are precomputed per ROW: dot/(na*nb) with cached na/nb is
     # the identical double computation, evaluated |V| not |cand| times.
-    # vecs feeds three consumers (side's parent + the two vector
-    # re-joins) and side feeds both sides of the self-join — persist
-    # both so the scan/norm and the bucket kernel each run exactly
-    # once, via the keyed session cache (one pinned entry per
-    # application × input, not one per invocation)
     vecs, side = _neardup_frames(spark, sf_dir)
+    grp = side.join(vecs, "vec_id").select("t", "bk", "vec_id", "v", "nrm")
     pairs = (
-        side.select(F.col("vec_id").alias("id_a"), "t", "bk")
-        .join(side.select(F.col("vec_id").alias("id_b"), "t", "bk"),
-              ["t", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        grp.groupBy("t", "bk")
+        .applyInPandas(
+            make_bucket_pairs_kernel(NEARDUP_THRESHOLD),
+            "id_a long, id_b long",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     a = vecs.select(

@@ -611,7 +611,16 @@ def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DUP_NGRAMS_MG_CAPACITY = 4096  # per-partition counter budget, phase 1
+# Per-partition counter budget. Counters cost ~16 B each, so 256k
+# counters ≈ 4 MB of partition state — still O(capacity), far below
+# executor memory, while pushing the completeness bound N/(capacity+1)
+# an order of magnitude past the claim threshold at every test scale
+# (4096 left the sketch vacuous one decade up: at sf1's ~2.3M shingles
+# the bound was ~560 ≫ the threshold, so everything undercounted away).
+# At a real 10^12-shingle corpus the same formula says what IS
+# claimable: threshold > N/(capacity+1), i.e. raise capacity or the
+# threshold together — the knob is explicit, not implicit.
+DUP_NGRAMS_MG_CAPACITY = 262_144
 DUP_NGRAMS_HEAVY_MIN = 3       # claim threshold; production sets this
                                # above N/(capacity+1) (see docstring)
 

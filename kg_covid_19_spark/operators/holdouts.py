@@ -422,24 +422,40 @@ def holdout_negatives_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FOREST_CC_UNROLL = 64  # == queries.CC_FIXPOINT_MAX_ROUNDS (Spark raises past)
+
+
 def _forest_dist_sql() -> str:
-    """Unrolled multi-source-BFS min-relaxation chain (MATERIALIZED —
-    each d{k} is referenced twice per round, the LP/kcore inlining
-    hazard) ending in the spanning-forest hash set. Shares the exact
-    CASE null-handling with the Spark loop so neither engine depends
-    on its least()-vs-NULL convention."""
+    """Unrolled hash-min component rounds + multi-source-BFS
+    min-relaxation chain (all MATERIALIZED — every c{k}/d{k} is
+    referenced twice per round, the LP/kcore inlining hazard) ending
+    in the spanning-forest hash set.
+
+    Components are UNROLLED hash-min rounds, NOT a recursive-CTE
+    transitive closure: the closure materializes (id, reachable-root)
+    pairs — |component|² rows, fine on the gazetteer-bounded cooc
+    graph (kg_components_fixpoint) but ~2.5e9 rows on sf1's
+    corpus-sized merged graph (measured 71 GB RSS before the run was
+    killed). Hash-min is |V| rows per round × 64 rounds, equals the
+    fixpoint whenever it converges within the unroll (idempotent), and
+    the Spark side raises past the same cap — the kcore contract.
+    Shares the exact CASE null-handling with the Spark BFS loop so
+    neither engine depends on its least()-vs-NULL convention."""
     parts = [
-        "vtx AS (SELECT DISTINCT a AS id FROM und)",
-        """reach AS (
-  SELECT id, id AS r FROM vtx
-  UNION
-  SELECT und.a AS id, reach.r AS r FROM und JOIN reach ON und.b = reach.id
-)""",
-        "comps AS MATERIALIZED (SELECT id, min(r) AS comp FROM reach "
-        "GROUP BY id)",
-        "d0 AS MATERIALIZED (SELECT id, CASE WHEN id = comp THEN 0 END "
-        "AS d FROM comps)",
+        "c0 AS MATERIALIZED "
+        "(SELECT DISTINCT a AS id, a AS lbl FROM und)",
     ]
+    for k in range(FOREST_CC_UNROLL):
+        parts.append(
+            f"c{k + 1} AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM ("
+            f"SELECT id, lbl FROM c{k} UNION ALL "
+            f"SELECT und.a AS id, c{k}.lbl FROM und "
+            f"JOIN c{k} ON und.b = c{k}.id) GROUP BY id)"
+        )
+    parts.append(
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = lbl THEN 0 END "
+        f"AS d FROM c{FOREST_CC_UNROLL})"
+    )
     for k in range(FOREST_BFS_UNROLL):
         parts.append(
             f"d{k + 1} AS MATERIALIZED (SELECT dk.id, "
@@ -499,7 +515,7 @@ tagged AS (
 SELECT split, count(*) AS n FROM tagged GROUP BY split
 """,
         "holdout_connected_split_counts": f"""
-WITH RECURSIVE {merged_cte},
+WITH {merged_cte},
 e AS (
   SELECT subject, predicate, object,
          md5(subject || '|' || predicate || '|' || object) AS h

@@ -73,6 +73,18 @@ def main() -> None:
 
         return kg_adamic_adar(s, SF)
 
+    def _neardup(s):
+        from kg_covid_19_spark.operators.similarity import (
+            emb_cosine_neardup,
+        )
+
+        return emb_cosine_neardup(s, SF)
+
+    def _deciles(s):
+        from kg_covid_19_spark.functions.textstats import txt_len_deciles
+
+        return txt_len_deciles(s, SF)
+
     sections = [
         (
             "Mention chain (doc_mentions)",
@@ -143,6 +155,26 @@ def main() -> None:
             "cell key; the L1 verify is an explicit 8-term codegen sum, "
             "no higher-order functions on the hot path.",
             _grid(spark),
+        ),
+        (
+            "Bucket-GEMM embedding near-dup (emb_cosine_neardup)",
+            "The quadratic candidate set never reaches an exchange: "
+            "vectors group once per (table, key) into an applyInPandas "
+            "(FlatMapGroupsInPandas) whose in-core GEMM emits only "
+            "near-threshold survivors; the dedup + order-exact verify "
+            "downstream operate on that sparse remainder (r5 — the "
+            "prior ids-only self-join shuffled 206M candidate rows at "
+            "sf1).",
+            _neardup(spark),
+        ),
+        (
+            "Value-domain exact deciles (txt_len_deciles)",
+            "No collect_list anywhere: a partial-agg (lang, n_chars) "
+            "count collapses the corpus map-side, the window runs over "
+            "distinct lengths only, and each decile position joins to "
+            "its covering cumulative range (r5 — replaces the "
+            "per-stratum array).",
+            _deciles(spark),
         ),
         (
             "Adamic-Adar with a shared log table (kg_adamic_adar)",

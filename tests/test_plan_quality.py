@@ -341,3 +341,16 @@ def test_len_deciles_has_no_stratum_array(spark):
     assert "collect_list" not in plan, plan
     assert "HashAggregate" in plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_neardup_candidates_never_shuffle(spark):
+    """emb_cosine_neardup's quadratic candidate set must be generated
+    and consumed inside the bucket tasks (FlatMapGroupsInPandas), with
+    NO ids-only self-join producing it: exactly the grouped-kernel
+    operator present, and no SortMergeJoin anywhere (the exchanges the
+    plan keeps are the bucket groupBy and the sparse-survivor dedup)."""
+    from kg_covid_19_spark.operators.similarity import emb_cosine_neardup
+
+    plan = _executed_plan(emb_cosine_neardup(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1247,10 +1247,11 @@ def linked_mentions_scored(
       BEFORE exploding — lossless (|len(a)−len(b)| ≤ lev(a,b)), and it
       stops a single pathological unbroken blob (a 10 KB base64 run)
       from generating len²/2 deletion keys;
-    * the join strategy is left to the optimizer: a dictionary that
-      fits broadcasts (the toy/stress sizes do), one that doesn't
-      shuffle-hash-joins on the key — forcing broadcast would pin a
-      multi-GB exploded build side at the claimed 10⁶-surface scale.
+    * the join strategy is chosen EXPLICITLY from the dictionary size
+      (see score_linked_tokens) — the optimizer cannot be trusted with
+      it: explode wrecks size estimates, and at sf1 the planner tried
+      to broadcast the EXPLODED VOCABULARY side (~50M deletion keys
+      from 1.1M distinct tokens) and died on the driver.
     """
     docs = read_table(spark, sf_dir, "documents")
     max_len_row = gaz.agg(
@@ -1268,18 +1269,35 @@ def linked_mentions_scored(
     return score_linked_tokens(toks, gaz)
 
 
+LINK_BROADCAST_MAX_TERMS = 65_536  # dict sizes whose exploded keys fit
+
+
 def score_linked_tokens(toks: DataFrame, gaz: DataFrame) -> DataFrame:
     """Token-frame-parametrized blocked-linking core: ``toks`` is any
     distinct (token) frame, ``gaz`` any (term, curie) frame. Production
     feeds the corpus vocabulary; the bench's dictionary slice feeds a
     capped vocabulary so the blocked equi-join can be timed against a
-    nested-loop twin on identical inputs."""
+    nested-loop twin on identical inputs.
+
+    The join strategy is decided HERE from one dictionary-sized count,
+    never by the size estimator: Catalyst treats explode output as
+    input-sized, so at sf1 it estimated 50M vocabulary deletion keys as
+    ~10 MB and broadcast the corpus side of the join into a driver OOM.
+    A dictionary ≤ LINK_BROADCAST_MAX_TERMS surfaces (the gazetteer
+    contract — the north-star "broadcast ontology/CURIE dictionary")
+    pins broadcast of the DICTIONARY keys; anything bigger pins a
+    shuffle-hash join on the block key (hash-partition both exploded
+    sides, no broadcast build, no sort of exploded strings)."""
     tok_keys = toks.select(
         "token", F.explode(_deletion_keys("token")).alias("k")
     )
     gaz_keys = gaz.select(
         "term", "curie", F.explode(_deletion_keys("term")).alias("k")
     )
+    if gaz.count() <= LINK_BROADCAST_MAX_TERMS:
+        gaz_keys = F.broadcast(gaz_keys)
+    else:
+        gaz_keys = gaz_keys.hint("shuffle_hash")
     d = F.levenshtein(F.col("token"), F.col("term"))
     scored = (
         tok_keys.join(gaz_keys, "k")

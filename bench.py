@@ -259,20 +259,25 @@ def _calibrated_vs_prev(queries: dict, calib: dict) -> dict:
                                "BENCH_r*.json")),
         key=lambda p: int(_re.search(r"r(\d+)", p).group(1)),
     )
-    if not benches:
+    # newest round file whose calibration probe is recoverable — the
+    # driver wraps bench's JSON under "parsed", which can be null when
+    # its own parse failed (the r4 file), so walk backwards
+    prev, prev_file = None, None
+    for path in reversed(benches):
+        with open(path) as fh:
+            cand = json.load(fh)
+        cand = cand.get("parsed") or cand
+        if cand.get("calib_spark_sec"):
+            prev, prev_file = cand, path
+            break
+    if prev is None:
         return {}
-    with open(benches[-1]) as fh:
-        prev = json.load(fh)
-    # the round driver wraps bench's JSON line under "parsed"
-    prev = prev.get("parsed", prev)
-    prev_probe = prev.get("calib_spark_sec")
-    if not prev_probe:
-        return {}
+    prev_probe = prev["calib_spark_sec"]
     ratio = calib["calib_spark_sec"] / prev_probe
     prev_q = prev.get("queries", {})
     return {
         "calib_ratio_vs_prev": round(ratio, 3),
-        "calib_prev_file": os.path.basename(benches[-1]),
+        "calib_prev_file": os.path.basename(prev_file),
         # this round's timings re-expressed at the previous round's host
         # speed: compare THESE against prev queries for plan deltas
         "queries_calibrated": {

@@ -539,7 +539,9 @@ DECON_MOD = 97   # doc_id % 97 == 0 → the held-out "benchmark" set
 
 
 def _ngrams(text: Column, n: int) -> Column:
-    """All n-token shingles (space-tokenized), [] when too short."""
+    """All n-token shingles (space-tokenized), [] when too short —
+    reference column form, semantics pinned against the Arrow kernel
+    twin below (test_ngram_kernel_matches_column_form)."""
     toks = F.split(text, " ")
     mk = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -548,6 +550,35 @@ def _ngrams(text: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, mk).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def make_ngram_udf(n: int):
+    """Arrow-kernel twin of ``_ngrams`` for the hot explode paths —
+    the make_shingle_udf lesson again: the JVM higher-order form pays
+    ~2µs per interpreted lambda step (sequence + slice + concat_ws per
+    shingle), while plain Python string slicing over Arrow batches
+    runs the same corpus several times faster (measured on the sf1
+    dup-ngrams family). Output matches the column form exactly:
+    Python str.split(' ') and Java split with limit -1 both keep
+    empty tokens, NULL text yields []."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def ngrams(texts):  # pd.Series -> pd.Series (PEP-563-safe: no hints)
+        out = []
+        for t in texts:
+            toks = t.split(" ") if t else []
+            if len(toks) < n:
+                out.append([])
+            else:
+                out.append(
+                    [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+                )
+        return pd.Series(out)
+
+    return ngrams
 
 
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +593,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id",
         F.explode_outer(
-            F.array_distinct(_ngrams(F.col("text"), DECON_N))
+            F.array_distinct(make_ngram_udf(DECON_N)(F.col("text")))
         ).alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
     is_bench = F.col("doc_id") % DECON_MOD == 0
@@ -598,7 +629,8 @@ def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output is bounded by the duplicated set, not the corpus."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
-        "doc_id", F.explode(_ngrams(F.col("text"), DECON_N)).alias("ng")
+        "doc_id",
+        F.explode(make_ngram_udf(DECON_N)(F.col("text"))).alias("ng"),
     )
     return (
         sh.groupBy("ng")
@@ -654,7 +686,8 @@ def doc_dup_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt_top_tokens_approx contract)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
-        "doc_id", F.explode(_ngrams(F.col("text"), DECON_N)).alias("ng")
+        "doc_id",
+        F.explode(make_ngram_udf(DECON_N)(F.col("text"))).alias("ng"),
     )
     return _dup_ngrams_approx_frame(
         sh, DUP_NGRAMS_MG_CAPACITY, DUP_NGRAMS_HEAVY_MIN

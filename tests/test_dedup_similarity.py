@@ -240,3 +240,24 @@ def test_dup_ngrams_approx_undercount_bracket(spark):
 
     hot_hash = hashlib.md5(b"hot boilerplate shingle").hexdigest()
     assert got == {hot_hash: (50, n_hot)}
+
+
+def test_ngram_kernel_matches_column_form(spark):
+    """The Arrow n-gram kernel must equal the higher-order column form
+    row-for-row, including empty-token, too-short and null texts."""
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.operators.dedup import _ngrams, make_ngram_udf
+
+    rows = [
+        (1, "a b c d e"), (2, "a b c"), (3, "a b"), (4, ""),
+        (5, None), (6, "a  b c d"), (7, "x " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", _ngrams(F.col("text"), 4).alias("g"))
+           .collect()}
+    ker = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", make_ngram_udf(4)(F.col("text")).alias("g"))
+           .collect()}
+    assert ker == col

@@ -217,6 +217,118 @@ def kg_jaccard_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NBR_MH_SEEDS = 8   # minhash components per neighbor-set signature
+NBR_MH_BANDS = 4   # bands of 2 → candidates share any band
+
+
+def kg_jaccard_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set similarity by MINHASH SKETCH — the hub-scale path
+    SCALE.md's common-neighbors ceiling promises ("or a sketch (minhash
+    of neighbor sets)"), shipped as code: the exact wedge join is
+    inherently Σdeg² through shared neighbors, while the sketch costs
+    one dictionary-bounded aggregation per node (8 min(md5) partial
+    aggs — a hub's million-edge neighbor list collapses map-side to
+    ONE signature row) plus an LSH band join on signature fragments,
+    independent of degree.
+
+    Fully oracle-pairable, unlike most sketches: permutation-minhash
+    via lexicographic min(md5(seed || ':' || neighbor)) is
+    deterministic and engine-identical, and the similarity estimate
+    (matching components · 10⁶ div seeds) is exact-integer — the
+    accuracy-vs-exact-Jaccard bracket lives in pytest, while the
+    cross-engine hash gates the construction itself."""
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    sigs = und.groupBy(F.col("subject").alias("id")).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("object")))
+            ).alias(f"h{s}")
+            for s in range(NBR_MH_SEEDS)
+        ]
+    )
+    width = NBR_MH_SEEDS // NBR_MH_BANDS
+    band_keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"h{b * width + j}") for j in range(width)],
+        )
+        for b in range(NBR_MH_BANDS)
+    ]
+    kx = sigs.select(
+        "id", F.explode(F.array(*band_keys)).alias("bk")
+    )
+    cand = (
+        kx.select(F.col("id").alias("x"), "bk")
+        .join(kx.select(F.col("id").alias("y"), "bk"), "bk")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+    sx = sigs.select(
+        F.col("id").alias("x"),
+        *[F.col(f"h{s}").alias(f"xh{s}") for s in range(NBR_MH_SEEDS)],
+    )
+    sy = sigs.select(
+        F.col("id").alias("y"),
+        *[F.col(f"h{s}").alias(f"yh{s}") for s in range(NBR_MH_SEEDS)],
+    )
+    n_match = None
+    for s in range(NBR_MH_SEEDS):
+        term = F.when(F.col(f"xh{s}") == F.col(f"yh{s}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    return (
+        cand.join(sx, "x")
+        .join(sy, "y")
+        .select(
+            "x",
+            "y",
+            n_match.cast("int").alias("n_match"),
+            F.expr(
+                f"CAST(({'+'.join(f'(CASE WHEN xh{s} = yh{s} THEN 1 ELSE 0 END)' for s in range(NBR_MH_SEEDS))}) "
+                f"* 1000000L div {NBR_MH_SEEDS} AS LONG)"
+            ).alias("jaccard_est_ppm"),
+        )
+    )
+
+
+def _jaccard_minhash_sql() -> str:
+    width = NBR_MH_SEEDS // NBR_MH_BANDS
+    mins = ", ".join(
+        f"min(md5('{s}:' || object)) AS h{s}" for s in range(NBR_MH_SEEDS)
+    )
+    keys = ", ".join(
+        "'" + str(b) + "|' || "
+        + " || '|' || ".join(f"h{b * width + j}" for j in range(width))
+        for b in range(NBR_MH_BANDS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sx.h{s} = sy.h{s} THEN 1 ELSE 0 END)"
+        for s in range(NBR_MH_SEEDS)
+    )
+    return f"""und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+sigs AS (SELECT subject AS id, {mins} FROM und GROUP BY subject),
+kx AS (SELECT id, unnest([{keys}]) AS bk FROM sigs),
+cand AS (
+  SELECT DISTINCT a.id AS x, b.id AS y
+  FROM kx a JOIN kx b ON a.bk = b.bk AND a.id < b.id
+)
+SELECT c.x, c.y,
+  CAST({match_sum} AS INTEGER) AS n_match,
+  CAST(({match_sum}) * 1000000 // {NBR_MH_SEEDS} AS BIGINT)
+    AS jaccard_est_ppm
+FROM cand c
+JOIN sigs sx ON c.x = sx.id
+JOIN sigs sy ON c.y = sy.id"""
+
+
 def kg_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resource-Allocation link-prediction index in exact integer ppm:
     RA(x,y) = Σ_{via ∈ N(x)∩N(y)} 1/deg(via), the down-weights-hubs
@@ -1440,6 +1552,7 @@ KG_QUERIES = {
     "kg_common_neighbors_capped": kg_common_neighbors_capped,
     "web_extract_parity": _web_extract_parity,
     "kg_jaccard_link_scores": kg_jaccard_link_scores,
+    "kg_jaccard_minhash_est": kg_jaccard_minhash_est,
     "kg_degree_histogram": kg_degree_histogram,
     "kg_druggable_two_hop": kg_druggable_two_hop,
     "kg_provided_by_counts": kg_provided_by_counts,
@@ -1581,6 +1694,10 @@ SELECT c.x, c.y, c.n_common,
 FROM common c
 JOIN deg dx ON c.x = dx.id
 JOIN deg dy ON c.y = dy.id
+""",
+    "kg_jaccard_minhash_est": f"""
+WITH {_CTE},
+{_jaccard_minhash_sql()}
 """,
     "kg_druggable_two_hop": f"""
 WITH {_CTE},

@@ -382,3 +382,37 @@ def test_label_propagation_fixpoint_raises_at_cap(spark, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         queries.label_propagation_fixpoint_frame(und)
+
+
+def test_jaccard_minhash_estimates_track_exact(spark):
+    """The neighbor-set minhash sketch must genuinely estimate the
+    exact Jaccard (not merely hash-match its own construction): on the
+    pairs both queries emit, mean |est − exact| stays within the
+    8-component sampling error, every high-similarity pair is found by
+    the band join, and estimates never stray past 3 components."""
+    from kg_covid_19_spark.plans.queries import (
+        kg_jaccard_link_scores,
+        kg_jaccard_minhash_est,
+    )
+
+    est = {
+        (r["x"], r["y"]): r["jaccard_est_ppm"]
+        for r in kg_jaccard_minhash_est(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["x"], r["y"]): r["jaccard_ppm"]
+        for r in kg_jaccard_link_scores(spark, SF_DIR).collect()
+    }
+    both = set(est) & set(exact)
+    assert len(both) >= 20  # non-vacuous overlap at sf0.01
+    errs = [abs(est[p] - exact[p]) for p in both]
+    assert sum(errs) / len(errs) <= 200_000   # ~1.6 components mean
+    assert max(errs) <= 375_000               # ≤3 components anywhere
+    # recall of truly similar pairs: an exact-J ≥ 0.5 pair misses a
+    # 2-row band with prob (1−J²)⁴ ≈ 0.32 at the boundary, so demand
+    # ≥0.9 over the set (deterministic on this fixed corpus — md5
+    # makes every "random" outcome reproducible), not perfection
+    hi = {p for p, j in exact.items() if j >= 500_000}
+    assert hi
+    recall = len(hi & set(est)) / len(hi)
+    assert recall >= 0.9, (recall, hi - set(est))

@@ -1516,6 +1516,116 @@ def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("id", F.col("r").alias("rank_ppm"))
 
 
+PPR_SEED_PREFIXES = ("CHEBI:", "DrugCentral:")  # chemical/drug nodes
+
+
+def kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: restart mass confined to a seed set (the
+    chemical/drug nodes) — the drug-centric importance ranking a
+    repurposing consumer of this KG actually asks for, and the standard
+    PPR formulation (teleport to seeds, not uniformly). Same
+    integer-ppm / DECIMAL(38,0) machinery and per-round persist
+    discipline as kg_pagerank, so the result is bit-identical at any
+    parallelism and in the unrolled-CTE oracle; only the base vector
+    differs: seeds restart with PR_BASE_PPM, everything else restarts
+    with 0, and the initial mass sits on the seeds."""
+    key = (*table_source_key(spark, sf_dir), "pagerank_personalized")
+    if key not in _ITER_CACHE:
+        _ITER_CACHE[key] = _ppr_build(spark, sf_dir)
+    return _ITER_CACHE[key]
+
+
+def _ppr_update_expr(s_col: str = "s") -> str:
+    damp = (
+        f"CAST(floor((CAST({PR_DAMP_PPM} AS DECIMAL(38,0)) * "
+        f"coalesce({s_col}, 0L)) / {_PPM}) AS BIGINT)"
+    )
+    return (
+        f"CAST((CASE WHEN is_seed THEN {PR_BASE_PPM} ELSE 0L END) + "
+        f"{damp} AS LONG)"
+    )
+
+
+def _ppr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = get_kg(spark, sf_dir)
+    und = _undirected(
+        edges.filter(F.col("predicate") == "biolink:correlated_with")
+    )
+    seed_pred = None
+    for p in PPR_SEED_PREFIXES:
+        term = F.col("id").startswith(p)
+        seed_pred = term if seed_pred is None else (seed_pred | term)
+    deg = (
+        und.groupBy(F.col("subject").alias("id"))
+        .agg(F.count("*").alias("deg"))
+        .withColumn("is_seed", seed_pred)
+        .persist()
+    )
+    r = deg.select(
+        "id", "is_seed",
+        F.when(F.col("is_seed"), F.lit(_PPM))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    prev = None
+    for _ in range(PR_ITERS):
+        contrib = r.join(deg.select("id", "deg"), "id").select(
+            "id", F.expr("r div deg").alias("c")
+        )
+        msgs = (
+            und.join(contrib, F.col("subject") == F.col("id"))
+            .groupBy(F.col("object").alias("mid"))
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            deg.select("id", "is_seed")
+            .join(msgs, F.col("id") == F.col("mid"), "left")
+            .select("id", "is_seed", F.expr(_ppr_update_expr("s")).alias("r"))
+            .persist()
+        )
+        r.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = r
+    deg.unpersist()
+    return r.select("id", F.col("r").alias("ppr_ppm"))
+
+
+def _ppr_sql() -> str:
+    like = " OR ".join(f"id LIKE '{p}%'" for p in PPR_SEED_PREFIXES)
+    parts = [
+        """und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+)""",
+        "deg AS (SELECT subject AS id, count(*) AS deg FROM und "
+        "GROUP BY subject)",
+        f"sd AS (SELECT id, deg, ({like}) AS is_seed FROM deg)",
+        f"p0 AS (SELECT id, is_seed, CAST(CASE WHEN is_seed THEN {_PPM} "
+        f"ELSE 0 END AS BIGINT) AS r FROM sd)",
+    ]
+    for k in range(PR_ITERS):
+        parts.append(
+            f"pc{k} AS (SELECT p{k}.id, p{k}.r // d.deg AS c "
+            f"FROM p{k} JOIN sd d ON p{k}.id = d.id)"
+        )
+        parts.append(
+            f"pm{k} AS (SELECT und.object AS id, sum(pc{k}.c) AS s "
+            f"FROM und JOIN pc{k} ON und.subject = pc{k}.id "
+            f"GROUP BY und.object)"
+        )
+        parts.append(
+            f"p{k + 1} AS (SELECT d.id, d.is_seed, "
+            f"CAST((CASE WHEN d.is_seed THEN {PR_BASE_PPM} ELSE 0 END) + "
+            f"({PR_DAMP_PPM} * coalesce(pm{k}.s, 0)) // {_PPM} "
+            f"AS BIGINT) AS r "
+            f"FROM sd d LEFT JOIN pm{k} ON d.id = pm{k}.id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, r AS ppr_ppm FROM p{PR_ITERS}"
+
+
 def _pagerank_sql() -> str:
     parts = [
         """und AS (
@@ -1561,6 +1671,7 @@ KG_QUERIES = {
     "kg_cooccurrence_counts": kg_cooccurrence_counts,
     "kg_cooc_incremental": kg_cooc_incremental,
     "kg_pagerank": kg_pagerank,
+    "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
     "kg_triangle_counts": kg_triangle_counts,
     "kg_hub_distances": kg_hub_distances,
@@ -1746,6 +1857,10 @@ GROUP BY a.curie, b.curie
     "kg_pagerank": f"""
 WITH {_CTE},
 {_pagerank_sql()}
+""",
+    "kg_pagerank_personalized": f"""
+WITH {_CTE},
+{_ppr_sql()}
 """,
     "kg_linked_mentions_scored": f"""
 WITH {_linkdict_sql()},

@@ -416,3 +416,29 @@ def test_jaccard_minhash_estimates_track_exact(spark):
     assert hi
     recall = len(hi & set(est)) / len(hi)
     assert recall >= 0.9, (recall, hi - set(est))
+
+
+def test_personalized_pagerank_confines_restart_to_seeds(spark):
+    """PPR invariants vs the uniform twin on the same graph: identical
+    node set, every seed keeps at least its restart mass, total mass
+    strictly below uniform PageRank's (restart only happens on seeds),
+    and at least one non-seed node exists with mass from propagation
+    alone."""
+    from kg_covid_19_spark.plans.queries import (
+        PPR_SEED_PREFIXES,
+        PR_BASE_PPM,
+        kg_pagerank,
+        kg_pagerank_personalized,
+    )
+
+    pr = {r["id"]: r["rank_ppm"] for r in kg_pagerank(spark, SF_DIR).collect()}
+    ppr = {
+        r["id"]: r["ppr_ppm"]
+        for r in kg_pagerank_personalized(spark, SF_DIR).collect()
+    }
+    assert set(pr) == set(ppr)
+    seeds = {i for i in ppr if i.startswith(PPR_SEED_PREFIXES)}
+    assert seeds and seeds != set(ppr)
+    assert all(ppr[i] >= PR_BASE_PPM for i in seeds)
+    assert sum(ppr.values()) < sum(pr.values())
+    assert any(ppr[i] > 0 for i in set(ppr) - seeds)

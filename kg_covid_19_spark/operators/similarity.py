@@ -357,6 +357,51 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+EMB_DECON_MOD = 97        # vec_id % MOD == 0 -> held-out benchmark side
+EMB_DECON_THRESHOLD = 0.4  # the adversarial no-planted-dups regime,
+                           # same rationale as NEARDUP_THRESHOLD
+
+
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space twin of
+    doc_decontaminate: flag every corpus vector whose cosine to ANY
+    held-out benchmark vector clears the threshold. Shingle/exact
+    decontamination misses paraphrased eval leakage; this is the
+    standard embedding-side sweep training pipelines run next to it.
+
+    Scale shape: the benchmark side is eval-suite-sized by definition,
+    so it BROADCASTS (the one sanctioned cross join, like the capped
+    holdout candidate universe) and the corpus side streams ONCE
+    through the order-exact Arrow pair kernel — linear in the corpus,
+    no LSH required, no shuffle at all beyond the scan. Cosines reuse
+    the sequential-fold kernel, so sims are bit-identical to the
+    DuckDB oracle."""
+    vecs = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    bench = F.broadcast(
+        vecs.filter(F.col("vec_id") % EMB_DECON_MOD == 0).select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    corpus = vecs.filter(F.col("vec_id") % EMB_DECON_MOD != 0).select(
+        "vec_id", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    pair_cos = make_pair_cos_udf()
+    return (
+        corpus.crossJoin(bench)
+        .select(
+            "vec_id",
+            "bench_id",
+            pair_cos(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= EMB_DECON_THRESHOLD)
+        .select("vec_id", "bench_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 EMB_CLUSTER_ROUNDS = 3
 
 
@@ -589,6 +634,15 @@ ranked AS (
 SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
 FROM ranked WHERE rank <= {TOP_K}
 """,
+    "emb_decontaminate": f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id AS bench_id, v AS vb FROM vecs
+      WHERE vec_id % {EMB_DECON_MOD} = 0),
+c AS (SELECT vec_id, v AS va FROM vecs WHERE vec_id % {EMB_DECON_MOD} <> 0)
+SELECT c.vec_id, b.bench_id, round({_cos_sql('va', 'vb')}, 6) AS sim
+FROM c CROSS JOIN b
+WHERE {_cos_sql('va', 'vb')} >= {EMB_DECON_THRESHOLD}
+""",
     "emb_cosine_neardup": f"""
 WITH {_neardup_cands_sql()}
 SELECT id_a, id_b, round({_cos_sql('va', 'vb')}, 6) AS sim
@@ -647,6 +701,7 @@ SIM_QUERIES = {
     "emb_knn_bruteforce": emb_knn_bruteforce,
     "emb_lsh_ann": emb_lsh_ann,
     "emb_cosine_neardup": emb_cosine_neardup,
+    "emb_decontaminate": emb_decontaminate,
     "emb_ivf_ann": emb_ivf_ann,
     "emb_dedup_clusters": emb_dedup_clusters,
 }

@@ -261,3 +261,42 @@ def test_ngram_kernel_matches_column_form(spark):
            df.select("doc_id", make_ngram_udf(4)(F.col("text")).alias("g"))
            .collect()}
     assert ker == col
+
+
+def test_emb_decontaminate_matches_bruteforce(spark):
+    """Semantic decontamination must equal the brute-force sweep: all
+    (corpus, benchmark) pairs with cosine >= threshold, nothing else,
+    and never a benchmark vector on the corpus side."""
+    from kg_covid_19_spark.operators.similarity import (
+        EMB_DECON_MOD,
+        EMB_DECON_THRESHOLD,
+        _dot,
+        _norm,
+        _vectors,
+        emb_decontaminate,
+    )
+
+    got = {
+        (r.vec_id, r.bench_id): r.sim
+        for r in emb_decontaminate(spark, SF_DIR).collect()
+    }
+    assert got  # non-vacuous at sf0.01
+    assert all(v % EMB_DECON_MOD != 0 and b % EMB_DECON_MOD == 0
+               for v, b in got)
+    v = _vectors(spark, SF_DIR)
+    c = v.filter(F.col("vec_id") % EMB_DECON_MOD != 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("va"))
+    b = v.filter(F.col("vec_id") % EMB_DECON_MOD == 0).select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("vb"))
+    brute = {
+        (r.cid, r.bid)
+        for r in c.crossJoin(b)
+        .select(
+            "cid", "bid",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("sim"),
+        )
+        .filter(F.col("sim") >= EMB_DECON_THRESHOLD)
+        .collect()
+    }
+    assert set(got) == brute

@@ -298,6 +298,65 @@ def neardup_pairs(spark: SparkSession, sf_dir: str,
 
 
 
+CONTAINMENT_MIN_PPM = 800_000  # near-subset: >=80% of src's shingles
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-SUBSET detection: C(src -> dst) = |S(src) n
+    S(dst)| / |S(src)| in exact integer ppm — the quote/boilerplate
+    INCLUSION case symmetric Jaccard structurally misses (a 50-shingle
+    snippet fully inside a 5000-shingle page scores J ~ 0.01 but
+    containment 1.0). Reuses the LSH candidate + shingle-equijoin
+    machinery; each candidate pair emits whichever direction(s) clear
+    the threshold — the planted near-copies (original minus last
+    token) are full containments by construction, so the check is
+    non-vacuous on the sf corpora.
+
+    Stated recall bound: candidates come from the SYMMETRIC minhash
+    bands, which under-sample extreme size ratios; a dedicated
+    subset-detector would band on the smaller document's shingles
+    alone (same plan, different key side). Exact-integer ppm keeps the
+    oracle value-hash exact."""
+    cand = minhash_candidates(spark, sf_dir)
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+        .join(
+            sh.groupBy(F.col("doc_id").alias("a")).agg(
+                F.count("*").alias("n_a")
+            ),
+            "a",
+        )
+        .join(
+            sh.groupBy(F.col("doc_id").alias("b")).agg(
+                F.count("*").alias("n_b")
+            ),
+            "b",
+        )
+    )
+    fwd = inter.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.expr("n_inter * 1000000L div n_a").alias("containment_ppm"),
+    )
+    rev = inter.select(
+        F.col("b").alias("src"),
+        F.col("a").alias("dst"),
+        F.expr("n_inter * 1000000L div n_b").alias("containment_ppm"),
+    )
+    return fwd.unionAll(rev).filter(
+        F.col("containment_ppm") >= CONTAINMENT_MIN_PPM
+    )
+
+
 CLUSTER_ROUNDS = 3
 
 
@@ -786,6 +845,19 @@ JOIN sizes za ON i.a = za.doc_id
 JOIN sizes zb ON i.b = zb.doc_id
 WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
 """,
+    "doc_containment_pairs": f"""
+WITH {_candidates_sql()},
+{_NEARDUP_CHAIN_SQL}
+SELECT src, dst, containment_ppm FROM (
+  SELECT i.a AS src, i.b AS dst,
+         CAST(n_inter * 1000000 // za.n_sh AS BIGINT) AS containment_ppm
+  FROM inter i JOIN sizes za ON i.a = za.doc_id
+  UNION ALL
+  SELECT i.b AS src, i.a AS dst,
+         CAST(n_inter * 1000000 // zb.n_sh AS BIGINT) AS containment_ppm
+  FROM inter i JOIN sizes zb ON i.b = zb.doc_id
+) WHERE containment_ppm >= {CONTAINMENT_MIN_PPM}
+""",
     "doc_dedup_clusters": f"""
 WITH {_candidates_sql()},
 {_NEARDUP_CHAIN_SQL},
@@ -835,6 +907,7 @@ DEDUP_QUERIES = {
     "doc_dedup_exact": exact_dup_clusters,
     "doc_minhash_candidates": minhash_candidates,
     "doc_neardup_pairs": neardup_pairs,
+    "doc_containment_pairs": doc_containment_pairs,
     "doc_simhash_clusters": simhash_clusters,
     "doc_simhash_neardup": simhash_neardup_pairs,
     "doc_dup_ngrams": doc_dup_ngrams,

@@ -566,6 +566,30 @@ def _lp_fixpoint_sql() -> str:
     )
 
 
+def kg_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL clustering coefficient (transitivity) in exact integer
+    ppm: C = 3·triangles / wedges, with 3·triangles read off the
+    degree-oriented triangle frame (Σ per-node participations — each
+    triangle is counted at its three corners) and wedges = Σ C(deg, 2)
+    from one dictionary-bounded degree aggregate. deg·(deg−1) is
+    always even, so the `div 2` is exact and both engines agree; the
+    output is ONE scalar row — the canonical graph-cohesion readout
+    next to kg_graph_stats. Scale shape: inherits the O(m^1.5)
+    triangle bound; the wedge sum is a partial-agg scalar."""
+    tri = kg_triangle_counts(spark, sf_dir)
+    deg = _cooc_degrees(spark, sf_dir)
+    t3 = tri.agg(F.sum("n_triangles").alias("t3"))
+    w = deg.agg(F.expr("sum(deg * (deg - 1) div 2)").alias("w"))
+    return t3.crossJoin(w).select(
+        F.col("t3").cast("long").alias("triangle_participations"),
+        F.col("w").cast("long").alias("n_wedges"),
+        F.expr(
+            "CAST(CASE WHEN w > 0 THEN t3 * 1000000L div w "
+            "ELSE 0L END AS LONG)"
+        ).alias("gcc_ppm"),
+    )
+
+
 AA_MAX_DEG = 1024
 
 
@@ -1674,6 +1698,7 @@ KG_QUERIES = {
     "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
     "kg_triangle_counts": kg_triangle_counts,
+    "kg_clustering_coefficient": kg_clustering_coefficient,
     "kg_hub_distances": kg_hub_distances,
     "kg_resource_allocation": kg_resource_allocation,
     "kg_adamic_adar": kg_adamic_adar,
@@ -1896,6 +1921,28 @@ members AS (
   UNION ALL SELECT c FROM tri
 )
 SELECT id, count(*) AS n_triangles FROM members GROUP BY id
+""",
+    "kg_clustering_coefficient": f"""
+WITH {_CTE},
+tri AS (
+  SELECT ab.subject AS a, ab.object AS b, bc.object AS c
+  FROM cooc_edges ab
+  JOIN cooc_edges bc ON ab.object = bc.subject
+  JOIN cooc_edges ac ON ac.subject = ab.subject AND ac.object = bc.object
+),
+und AS (
+  SELECT subject, object FROM cooc_edges
+  UNION ALL
+  SELECT object AS subject, subject AS object FROM cooc_edges
+),
+deg AS (SELECT subject AS id, count(*) AS deg FROM und GROUP BY subject),
+t AS (SELECT 3 * (SELECT count(*) FROM tri) AS t3),
+w AS (SELECT sum(deg * (deg - 1) // 2) AS w FROM deg)
+SELECT CAST(t3 AS BIGINT) AS triangle_participations,
+       CAST(w AS BIGINT) AS n_wedges,
+       CAST(CASE WHEN w > 0 THEN t3 * 1000000 // w ELSE 0 END AS BIGINT)
+         AS gcc_ppm
+FROM t, w
 """,
     "kg_hub_distances": f"""
 WITH {_CTE},

@@ -300,3 +300,31 @@ def test_emb_decontaminate_matches_bruteforce(spark):
         .collect()
     }
     assert set(got) == brute
+
+
+def test_containment_finds_planted_near_subsets(spark):
+    """The planted near-copies (original minus the last token) are
+    true near-subsets: every shingle of the copy exists in the
+    original, so containment(copy -> original) must be exactly
+    1_000_000 ppm; all reported directions clear the threshold and
+    never exceed 1e6."""
+    from kg_covid_19_spark.operators.dedup import (
+        CONTAINMENT_MIN_PPM,
+        NEAR_OFFSET,
+        doc_containment_pairs,
+    )
+
+    got = {
+        (r.src, r.dst): r.containment_ppm
+        for r in doc_containment_pairs(spark, SF_DIR).collect()
+    }
+    assert got
+    assert all(
+        CONTAINMENT_MIN_PPM <= v <= 1_000_000 for v in got.values()
+    )
+    planted = [
+        (d + NEAR_OFFSET, d)
+        for d in range(1, 500, 10)  # doc_id % 10 == 1 at sf0.01
+    ]
+    hits = [p for p in planted if got.get(p) == 1_000_000]
+    assert len(hits) >= 0.9 * len(planted), (len(hits), len(planted))

@@ -442,3 +442,27 @@ def test_personalized_pagerank_confines_restart_to_seeds(spark):
     assert all(ppr[i] >= PR_BASE_PPM for i in seeds)
     assert sum(ppr.values()) < sum(pr.values())
     assert any(ppr[i] > 0 for i in set(ppr) - seeds)
+
+
+def test_clustering_coefficient_consistent_with_parts(spark):
+    """gcc_ppm must equal the integer formula over its own published
+    ingredients (triangle participations and the wedge sum from the
+    degree histogram) and sit in (0, 1e6] on the cooc graph."""
+    from kg_covid_19_spark.plans.queries import (
+        kg_clustering_coefficient,
+        kg_degree_histogram,
+        kg_triangle_counts,
+    )
+
+    row = kg_clustering_coefficient(spark, SF_DIR).collect()[0]
+    t3 = sum(
+        r["n_triangles"] for r in kg_triangle_counts(spark, SF_DIR).collect()
+    )
+    wedges = sum(
+        r["n_entities"] * (r["degree"] * (r["degree"] - 1) // 2)
+        for r in kg_degree_histogram(spark, SF_DIR).collect()
+    )
+    assert row["triangle_participations"] == t3
+    assert row["n_wedges"] == wedges
+    assert row["gcc_ppm"] == t3 * 1_000_000 // wedges
+    assert 0 < row["gcc_ppm"] <= 1_000_000

@@ -377,6 +377,51 @@ def _mg_kernel(capacity: int):
     return kernel
 
 
+def _mg_kernel_stats(capacity: int):
+    """Misra-Gries kernel variant that ALSO reports, per partition, the
+    facts the caller needs to reason about its own guarantee at
+    runtime: the processed-row total (kind='total') and the number of
+    Misra-Gries reduction events (kind='dec'). Counter rows carry
+    kind='tok'. Same vectorized batch merge and O(capacity) state as
+    _mg_kernel; the meta rows let doc_dup_ngrams_approx compute the
+    merged undercount bound N/(capacity+1) and detect the
+    no-decrement (exact-counts) case without a second corpus scan."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        acc = None
+        n_total = 0
+        n_dec = 0
+        for pdf in batches:
+            n_total += len(pdf)
+            vc = pdf["token"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > capacity:
+                n_dec += 1
+                thresh = acc.nlargest(capacity + 1).iloc[-1]
+                acc = (acc - thresh).astype("int64")
+                acc = acc[acc > 0]
+        if n_total:
+            if acc is not None and len(acc):
+                yield pd.DataFrame(
+                    {
+                        "token": acc.index.astype(str),
+                        "n_lb": acc.to_numpy("int64"),
+                        "kind": "tok",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "token": ["", ""],
+                    "n_lb": [n_total, n_dec],
+                    "kind": ["total", "dec"],
+                }
+            )
+
+    return kernel
+
+
 def _top_tokens_approx_frame(
     toks: DataFrame, capacity: int, k: int
 ) -> DataFrame:

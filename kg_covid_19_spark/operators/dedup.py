@@ -330,14 +330,14 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
         .join(
-            sh.groupBy(F.col("doc_id").alias("a")).agg(
-                F.count("*").alias("n_a")
+            sizes.select(
+                F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")
             ),
             "a",
         )
         .join(
-            sh.groupBy(F.col("doc_id").alias("b")).agg(
-                F.count("*").alias("n_b")
+            sizes.select(
+                F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")
             ),
             "b",
         )
@@ -469,8 +469,8 @@ def _tok_hash(col: Column) -> Column:
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over distinct tokens: bit b is the sign of
-    Σ_tokens (±1 from hash bit b)."""
+    """SIMHASH_BITS-bit (32-bit) SimHash over distinct tokens: bit b
+    is the sign of Σ_tokens (±1 from hash bit b)."""
     toks = (
         dedup_corpus(spark, sf_dir)
         .select(
@@ -702,18 +702,23 @@ def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Per-partition counter budget. Counters cost ~16 B each, so 256k
-# counters ≈ 4 MB of partition state — still O(capacity), far below
-# executor memory, while pushing the completeness bound N/(capacity+1)
-# an order of magnitude past the claim threshold at every test scale
-# (4096 left the sketch vacuous one decade up: at sf1's ~2.3M shingles
-# the bound was ~560 ≫ the threshold, so everything undercounted away).
-# At a real 10^12-shingle corpus the same formula says what IS
-# claimable: threshold > N/(capacity+1), i.e. raise capacity or the
-# threshold together — the knob is explicit, not implicit.
-DUP_NGRAMS_MG_CAPACITY = 262_144
-DUP_NGRAMS_HEAVY_MIN = 3       # claim threshold; production sets this
-                               # above N/(capacity+1) (see docstring)
+# Per-partition counter budget. Counters cost ~100 B each in pandas
+# Series form, so 1M counters ≈ 100 MB of partition state — O(capacity),
+# bounded, and sized so the classic completeness precondition
+# threshold > N/(capacity+1) HOLDS at sf1 (2.3M shingles → bound
+# floor(2.3M/1048577) = 2 < DUP_NGRAMS_HEAVY_MIN = 3). One decade
+# further up the classic bound fails again (23M shingles → bound 21),
+# and there completeness rests on the SECOND sufficient condition,
+# observed at runtime via the kernel's meta rows: when no partition
+# ever ran a Misra-Gries reduction (per-partition distinct shingles ≤
+# capacity), every count is exact, so the candidate prefilter at the
+# full threshold is lossless regardless of N. The frame computes the
+# live bound from the observed totals — the guarantee is checked
+# against the data actually processed, not asserted in a comment.
+DUP_NGRAMS_MG_CAPACITY = 1_048_576
+DUP_NGRAMS_HEAVY_MIN = 3       # claim threshold (see docstring)
+DUP_NGRAMS_BROADCAST_MAX = 1_000_000  # candidate rows a broadcast may
+                                      # carry (~50 MB); above → shuffle
 
 
 def doc_dup_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,13 +741,22 @@ def doc_dup_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       shingles, and every count in the output is exact, not estimated.
 
     Approximation contract: output = shingles with ≥2 docs and
-    n_occurrences ≥ DUP_NGRAMS_HEAVY_MIN, complete whenever the
-    threshold exceeds the merged Misra-Gries undercount bound
-    N/(capacity+1) (N = total shingles) — the usual heavy-hitter
-    guarantee, pinned by the bracket pytest. No DuckDB oracle on
-    purpose: phase-1 summary contents depend on partition boundaries,
-    so the driver records the rows-only check (the
-    txt_top_tokens_approx contract)."""
+    n_occurrences ≥ DUP_NGRAMS_HEAVY_MIN, complete whenever EITHER
+    (a) the threshold exceeds the merged Misra-Gries undercount bound
+    N/(capacity+1) (N = total shingles; the usual heavy-hitter
+    guarantee), OR (b) no partition ever ran a Misra-Gries reduction
+    (distinct shingles per partition ≤ capacity), in which case every
+    phase-1 count is exact. Both conditions are evaluated at RUNTIME
+    from the kernel's per-partition meta rows (total processed +
+    reduction events), and the candidate prefilter threshold adapts:
+    heavy_min when counts are exact, max(1, heavy_min − bound)
+    otherwise — sound per the MG lower bound, so no truly-heavy
+    shingle is pruned while the broadcast candidate set shrinks from
+    "every surviving counter" to "counters that could still be heavy".
+    Pinned by the bracket pytest. No DuckDB oracle on purpose: phase-1
+    summary contents depend on partition boundaries, so the driver
+    records the rows-only check (the txt_top_tokens_approx
+    contract)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
         "doc_id",
@@ -754,22 +768,61 @@ def doc_dup_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_ngrams_approx_frame(
-    sh: DataFrame, capacity: int, heavy_min: int
+    sh: DataFrame,
+    capacity: int,
+    heavy_min: int,
+    broadcast_max: int = DUP_NGRAMS_BROADCAST_MAX,
 ) -> DataFrame:
     """(doc_id, ng) shingle frame → heavy duplicated shingles;
-    frame-parametrized for the undercount-bracket pytest."""
-    from ..functions.textstats import _mg_kernel
+    frame-parametrized for the undercount-bracket pytest.
 
-    summaries = sh.select(F.col("ng").alias("token")).mapInPandas(
-        _mg_kernel(capacity), "token string, n_lb long"
+    Three summary-sized actions (never corpus-sized): the merged MG
+    meta stats (one row per kind), the pruned candidate count (for the
+    broadcast-vs-shuffle decision), and the caller's own collect. The
+    phase-1 summaries persist so those actions share one corpus scan;
+    the candidate set persists so the strategy probe doesn't recompute
+    the merge. Candidates above ``broadcast_max`` rows fall back to a
+    shuffle-hash semi-side join — a pathological corpus (every shingle
+    near-heavy) degrades to a bounded shuffle instead of a driver-OOM
+    broadcast."""
+    from ..functions.textstats import _mg_kernel_stats
+
+    summaries = (
+        sh.select(F.col("ng").alias("token"))
+        .mapInPandas(
+            _mg_kernel_stats(capacity), "token string, n_lb long, kind string"
+        )
+        .persist()
     )
+    stats = {
+        r["kind"]: r["s"]
+        for r in summaries.filter(F.col("kind") != "tok")
+        .groupBy("kind")
+        .agg(F.sum("n_lb").alias("s"))
+        .collect()
+    }
+    n_total = int(stats.get("total", 0))
+    n_dec = int(stats.get("dec", 0))
+    # no reduction anywhere → every MG count exact → prefilter lossless
+    # at the full threshold; otherwise widen by the merged MG bound
+    bound = 0 if n_dec == 0 else n_total // (capacity + 1)
+    prefilter_min = max(1, heavy_min - bound)
     heavy = (
-        summaries.groupBy("token")
+        summaries.filter(F.col("kind") == "tok")
+        .groupBy("token")
         .agg(F.sum("n_lb").alias("n_est"))
+        .filter(F.col("n_est") >= prefilter_min)
         .select(F.col("token").alias("ng"))
+        .persist()
+    )
+    n_cand = heavy.count()
+    build = (
+        F.broadcast(heavy)
+        if n_cand <= broadcast_max
+        else heavy.hint("shuffle_hash")
     )
     return (
-        sh.join(F.broadcast(heavy), "ng")
+        sh.join(build, "ng")
         .groupBy("ng")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),

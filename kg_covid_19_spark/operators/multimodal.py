@@ -42,17 +42,20 @@ MEDIA_META_SCHEMA = StructType(
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray / RGB / RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray / RGB / palette-idx / RGBA
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Pure-stdlib PNG decode → (width, height, channels, raw pixels).
 
     Real decoding, no codec libraries: chunk walk, IHDR parse, IDAT
-    concat + zlib inflate, and per-scanline reversal of the five PNG
-    filters (None/Sub/Up/Average/Paeth). Supports the non-interlaced
-    8-bit gray/RGB/RGBA profiles; palette, 16-bit and Adam7 images
-    raise NotImplementedError — that residue (like OCR-only PDFs in
+    concat + zlib inflate, per-scanline reversal of the five PNG
+    filters (None/Sub/Up/Average/Paeth), and PLTE palette expansion.
+    Supports the non-interlaced 8-bit gray/RGB/RGBA profiles plus
+    palette images at depths 1/2/4/8 (the most common web-PNG profile
+    — indices unpacked big-endian from row-padded scanlines, expanded
+    to RGB through the PLTE table); 16-bit and Adam7 images raise
+    NotImplementedError — that residue (like OCR-only PDFs in
     sources/zhou.py) genuinely needs a full codec library."""
     import struct
     import zlib
@@ -61,6 +64,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG byte stream")
     pos, width = 8, None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
             data[pos + 4:pos + 8]
@@ -69,12 +73,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         if ctype == b"IHDR":
             width, height, depth, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+            depth_ok = depth in (1, 2, 4, 8) if color == 3 else depth == 8
+            if not depth_ok or color not in _PNG_CHANNELS or interlace:
                 raise NotImplementedError(
                     f"PNG profile (depth={depth}, color={color}, "
                     f"interlace={interlace}) needs a full codec library"
                 )
             ch = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            plte = bytes(body)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -82,27 +89,28 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
+    bpp = max(1, (depth * ch) // 8)  # filter distance, bytes
+    stride = (width * depth * ch + 7) // 8  # row bytes (bit-packed rows pad)
     out = bytearray(height * stride)
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
         prev = out[(y - 1) * stride:y * stride] if y else bytes(stride)
         if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (
@@ -112,6 +120,25 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y * stride:(y + 1) * stride] = line
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        rgb = bytearray(width * height * 3)
+        per_byte = 8 // depth
+        mask = (1 << depth) - 1
+        for y in range(height):
+            row = out[y * stride:(y + 1) * stride]
+            for x in range(width):
+                if depth == 8:
+                    k = row[x]
+                else:
+                    k = (row[x // per_byte]
+                         >> (8 - depth * (x % per_byte + 1))) & mask
+                if 3 * k + 3 > len(plte):
+                    raise ValueError(f"palette index {k} out of range")
+                o = (y * width + x) * 3
+                rgb[o:o + 3] = plte[3 * k:3 * k + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(out)
 
 

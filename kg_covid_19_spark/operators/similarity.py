@@ -198,6 +198,7 @@ def make_bucket_udf():
 
 
 GEMM_GUARD = 1e-6  # prefilter margin — 9 orders above any fp-order drift
+GEMM_BLOCK_ELEMS = 4_000_000  # ≈32 MB of float64 scores per GEMM chunk
 
 
 def make_bucket_pairs_kernel(threshold: float):
@@ -220,7 +221,13 @@ def make_bucket_pairs_kernel(threshold: float):
     pair whose exact cosine clears the threshold can be dropped, and
     every emitted pair is re-scored by the order-exact pair kernel
     before the final exact threshold. Output is bit-identical to the
-    pre-optimization plan at every scale."""
+    pre-optimization plan at every scale.
+
+    The GEMM is row-blocked (GEMM_BLOCK_ELEMS score cells per chunk,
+    ≈32 MB): a skewed hot bucket of 100k rows would need ~80 GB for
+    the full |bucket|² score matrix in one task; chunking caps peak
+    task memory at O(block·n) while emitting the identical survivor
+    set — graceful degradation instead of an executor OOM."""
     import numpy as np
     import pandas as pd
 
@@ -230,14 +237,24 @@ def make_bucket_pairs_kernel(threshold: float):
             return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         M = np.stack(pdf["v"].to_numpy())
         M = M / pdf["nrm"].to_numpy()[:, None]
-        S = M @ M.T
         ids = pdf["vec_id"].to_numpy()
-        iu, ju = np.triu_indices(n, k=1)
-        mask = S[iu, ju] >= threshold - GEMM_GUARD
+        blk = max(1, GEMM_BLOCK_ELEMS // n)
+        out_a, out_b = [], []
+        for i0 in range(0, n - 1, blk):
+            i1 = min(i0 + blk, n)
+            S = M[i0:i1] @ M.T  # (i1-i0) × n score slab
+            ii, jj = np.nonzero(S >= threshold - GEMM_GUARD)
+            gi = ii + i0
+            keep = jj > gi  # strict upper triangle only
+            gi, jj = gi[keep], jj[keep]
+            out_a.append(np.minimum(ids[gi], ids[jj]))
+            out_b.append(np.maximum(ids[gi], ids[jj]))
         return pd.DataFrame(
             {
-                "id_a": np.minimum(ids[iu[mask]], ids[ju[mask]]),
-                "id_b": np.maximum(ids[iu[mask]], ids[ju[mask]]),
+                "id_a": np.concatenate(out_a) if out_a else
+                np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else
+                np.array([], dtype=np.int64),
             }
         )
 

@@ -1390,10 +1390,11 @@ def linked_mentions_scored(
       from 1.1M distinct tokens) and died on the driver.
     """
     docs = read_table(spark, sf_dir, "documents")
-    max_len_row = gaz.agg(
-        F.max(F.length("term")).alias("m")
-    ).collect()  # dictionary-sized aggregation: one scalar
-    max_tok_len = int(max_len_row[0]["m"] or 0) + LINK_MAX_DIST
+    gaz_row = gaz.agg(
+        F.max(F.length("term")).alias("m"), F.count("*").alias("n")
+    ).collect()  # dictionary-sized aggregation: two scalars, one action
+    max_tok_len = int(gaz_row[0]["m"] or 0) + LINK_MAX_DIST
+    n_terms = int(gaz_row[0]["n"])
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(
@@ -1402,13 +1403,15 @@ def linked_mentions_scored(
         )
         .distinct()
     )
-    return score_linked_tokens(toks, gaz)
+    return score_linked_tokens(toks, gaz, n_terms=n_terms)
 
 
 LINK_BROADCAST_MAX_TERMS = 65_536  # dict sizes whose exploded keys fit
 
 
-def score_linked_tokens(toks: DataFrame, gaz: DataFrame) -> DataFrame:
+def score_linked_tokens(
+    toks: DataFrame, gaz: DataFrame, n_terms: int | None = None
+) -> DataFrame:
     """Token-frame-parametrized blocked-linking core: ``toks`` is any
     distinct (token) frame, ``gaz`` any (term, curie) frame. Production
     feeds the corpus vocabulary; the bench's dictionary slice feeds a
@@ -1423,14 +1426,22 @@ def score_linked_tokens(toks: DataFrame, gaz: DataFrame) -> DataFrame:
     contract — the north-star "broadcast ontology/CURIE dictionary")
     pins broadcast of the DICTIONARY keys; anything bigger pins a
     shuffle-hash join on the block key (hash-partition both exploded
-    sides, no broadcast build, no sort of exploded strings)."""
+    sides, no broadcast build, no sort of exploded strings).
+
+    ``n_terms`` lets callers that already aggregated the dictionary
+    (linked_mentions_scored folds the count into its max-term-length
+    action) supply the size without a second scan; plan construction
+    stays action-free for them. Only when no size is supplied does the
+    strategy probe run its own dictionary-sized count."""
     tok_keys = toks.select(
         "token", F.explode(_deletion_keys("token")).alias("k")
     )
     gaz_keys = gaz.select(
         "term", "curie", F.explode(_deletion_keys("term")).alias("k")
     )
-    if gaz.count() <= LINK_BROADCAST_MAX_TERMS:
+    if n_terms is None:
+        n_terms = gaz.count()
+    if n_terms <= LINK_BROADCAST_MAX_TERMS:
         gaz_keys = F.broadcast(gaz_keys)
     else:
         gaz_keys = gaz_keys.hint("shuffle_hash")

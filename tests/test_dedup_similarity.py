@@ -328,3 +328,43 @@ def test_containment_finds_planted_near_subsets(spark):
     ]
     hits = [p for p in planted if got.get(p) == 1_000_000]
     assert len(hits) >= 0.9 * len(planted), (len(hits), len(planted))
+
+
+def test_bucket_pairs_kernel_blocking_is_exact():
+    """The row-blocked GEMM prefilter must emit the identical survivor
+    set as a single full-matrix GEMM, including when the bucket spans
+    many blocks (n >> block rows) — the OOM fix may not change output."""
+    import numpy as np
+    import pandas as pd
+
+    from kg_covid_19_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    n, d = 257, 8  # prime n → ragged final block
+    M = rng.randn(n, d)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64) * 3 + 1,
+            "v": list(M),
+            "nrm": np.linalg.norm(M, axis=1),
+        }
+    )
+    thr = 0.6
+    # reference: unblocked full-matrix survivors
+    Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    Sfull = Mn @ Mn.T
+    iu, ju = np.triu_indices(n, k=1)
+    mask = Sfull[iu, ju] >= thr - S.GEMM_GUARD
+    ids = pdf["vec_id"].to_numpy()
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[mask]], ids[ju[mask]])
+    }
+    orig = S.GEMM_BLOCK_ELEMS
+    try:
+        S.GEMM_BLOCK_ELEMS = 1000  # blk = 1000//257 = 3 rows per chunk
+        out = S.make_bucket_pairs_kernel(thr)(pdf)
+    finally:
+        S.GEMM_BLOCK_ELEMS = orig
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == want and len(want) > 0

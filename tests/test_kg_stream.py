@@ -219,3 +219,62 @@ def test_stream_cooc_counts_match_batch(spark, tmp_path):
     assert streamed == batch
     assert streamed, "no co-occurring pairs at test scale — vacuous"
     assert max(r[2] for r in streamed) > 1  # genuine multi-doc support
+
+
+def test_stream_dedup_watermarked_state_bounded_over_long_stream(
+    spark, tmp_path
+):
+    """Depth probe for the bounded-state claim: ~100 micro-batches
+    (one file each), every batch advancing event time a full watermark
+    horizon, 10,000 distinct keys total. The state store must hold a
+    few batches' worth of in-window keys throughout — never the
+    accumulated seen-set an unbounded dropDuplicates would keep — and
+    every unique key must still be emitted exactly once."""
+    import datetime as dt
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kg_covid_19_spark.streaming.kg_stream import (
+        stream_dedup_hashes_watermarked,
+    )
+
+    n_files, keys_per_file = 100, 100
+    incoming = str(tmp_path / "incoming_long")
+    _os.makedirs(incoming)
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    for i in range(n_files):
+        ts = base + dt.timedelta(minutes=30 * i)  # one horizon per file
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(
+                    [i * keys_per_file + j for j in range(keys_per_file)],
+                    pa.int64(),
+                ),
+                "text": pa.array(
+                    [f"doc {i:04d} {j:04d}" for j in range(keys_per_file)]
+                ),
+                "event_ts": pa.array(
+                    [ts] * keys_per_file, pa.timestamp("us", tz="UTC")
+                ),
+            }
+        )
+        dst = f"{incoming}/b{i:05d}.parquet"
+        pq.write_table(tbl, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out, state_rows = stream_dedup_hashes_watermarked(
+        spark,
+        incoming,
+        str(tmp_path / "ckpt_long"),
+        str(tmp_path / "out_long"),
+        query_name="doc_dedup_stream_wm_long",
+    )
+    assert out.count() == n_files * keys_per_file  # all unique → all emitted
+    assert state_rows, "no state operator metrics captured"
+    # steady state: in-window keys only (~2-3 batches + eviction lag),
+    # nowhere near the 10k seen-set
+    assert max(state_rows[5:]) <= 5 * keys_per_file, (
+        max(state_rows[5:]), state_rows[-5:]
+    )

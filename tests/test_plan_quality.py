@@ -354,3 +354,36 @@ def test_neardup_candidates_never_shuffle(spark):
     plan = _executed_plan(emb_cosine_neardup(spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dup_ngrams_broadcast_is_pruned_with_shuffle_fallback(spark):
+    """doc_dup_ngrams_approx's phase-2 build side must be (a) the
+    PRUNED candidate set — strictly smaller than the surviving-counter
+    universe once the prefilter threshold exceeds 1 — joined by
+    BroadcastHashJoin when it fits, and (b) a shuffle join (no
+    broadcast of a candidate set above the cap) when broadcast_max is
+    forced below the candidate count."""
+    from kg_covid_19_spark.operators.dedup import (
+        _dup_ngrams_approx_frame,
+        doc_dup_ngrams_approx,
+    )
+
+    plan = _executed_plan(doc_dup_ngrams_approx(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+    # forced fallback: candidate set larger than the broadcast cap
+    # (capacity ≥ distinct shingles → no decrements → exact counts,
+    # so ALL 40 shingles are candidates, deterministically > cap 3)
+    n_rows, cap, heavy_min = 300, 64, 2
+    rows = [(i % 30, f"hot shingle {i % 40:03d}") for i in range(n_rows)]
+    sh = spark.createDataFrame(rows, "doc_id long, ng string").repartition(4)
+    df = _dup_ngrams_approx_frame(sh, cap, heavy_min, broadcast_max=3)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    # and the fallback still produces the exact recount
+    got = {r.ngram_hash: (r.n_docs, r.n_occurrences) for r in df.collect()}
+    import hashlib
+
+    want_hash = hashlib.md5(b"hot shingle 000").hexdigest()
+    assert got[want_hash] == (3, 8)  # docs {0,10,20}, i ∈ {0,40,…,280}
+    assert len(got) == 40

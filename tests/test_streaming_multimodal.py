@@ -168,8 +168,9 @@ def test_png_decode_reverses_all_filter_types():
 
 
 def test_png_unsupported_profiles_stay_behind_seam():
-    """Palette / 16-bit / interlaced PNGs still raise — the genuine
-    codec-library seam, now narrowed to only those profiles."""
+    """16-bit / interlaced PNGs still raise — the genuine
+    codec-library seam, now narrowed to only those profiles (palette
+    moved to the supported set in r6)."""
     import struct
     import zlib
 
@@ -181,12 +182,103 @@ def test_png_unsupported_profiles_stay_behind_seam():
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    pal = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)))
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)))
     with pytest.raises(NotImplementedError):
-        decode_png(pal)
+        decode_png(deep)
+    adam7 = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)))
+    with pytest.raises(NotImplementedError):
+        decode_png(adam7)
     with pytest.raises(ValueError):
         decode_png(b"NOTAPNG")
+
+
+def _encode_palette_png(width, height, indices, plte, depth):
+    """Test-side palette-PNG encoder: bit-packs indices big-endian at
+    ``depth`` bits (row-padded), filter 0 scanlines, PLTE chunk."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    stride = (width * depth + 7) // 8
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        row = bytearray(stride)
+        for x in range(width):
+            k = indices[y * width + x]
+            if depth == 8:
+                row[x] = k
+            else:
+                row[x * depth // 8] |= k << (8 - depth * (x % (8 // depth) + 1))
+        raw.extend(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", bytes(plte))
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_palette_png_decodes_to_rgb():
+    """Palette PNGs (the most common web profile) decode through the
+    PLTE table to RGB at depths 8 and 4, including odd widths whose
+    bit-packed rows pad; out-of-range indices raise."""
+    from kg_covid_19_spark.operators.multimodal import decode_png
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])  # R G B gray
+    idx = [0, 1, 2, 3, 2, 1]
+    png8 = _encode_palette_png(3, 2, idx, plte, depth=8)
+    want = bytes(b for k in idx for b in plte[3 * k:3 * k + 3])
+    assert decode_png(png8) == (3, 2, 3, want)
+
+    png4 = _encode_palette_png(3, 2, idx, plte, depth=4)  # odd width pads
+    assert decode_png(png4) == (3, 2, 3, want)
+
+    bad = _encode_palette_png(2, 1, [0, 7], plte, depth=4)
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_palette_png_through_features_and_resize(spark):
+    """A real palette PNG through the same mapInPandas kernels the
+    registered media queries use — the VERDICT-r5 de-fake item."""
+    from kg_covid_19_spark.operators.multimodal import (
+        decode_media,
+        media_features_frame,
+        media_resize_frame,
+        png_resize_nearest,
+    )
+
+    # 2-entry palette: all-dark and all-light, 4×4 solid images
+    plte = bytes([10, 10, 10, 250, 250, 250])
+    png_dark = _encode_palette_png(4, 4, [0] * 16, plte, depth=1)
+    png_light = _encode_palette_png(4, 4, [1] * 16, plte, depth=8)
+    assert decode_media(png_dark, "png-v1") == (4, 4)
+
+    frame = spark.createDataFrame(
+        [(1, bytearray(png_dark)), (2, bytearray(png_light))],
+        "doc_id long, media binary",
+    )
+    feats = {
+        r["doc_id"]: r["f0"]
+        for r in media_features_frame(frame, "png-v1").collect()
+    }
+    assert feats[1].split(",")[0] == "1000000"   # dark: 100% in bin 0
+    assert feats[2].split(",")[7] == "1000000"   # light: 100% in bin 7
+
+    rs = {
+        r["doc_id"]: r["out_bytes"]
+        for r in media_resize_frame(frame, 8, 8, "png-v1").collect()
+    }
+    assert rs == {1: 8 * 8 * 3, 2: 8 * 8 * 3}
+    assert png_resize_nearest(png_light, 2, 2) == bytes([250] * (2 * 2 * 3))
 
 
 def test_real_png_through_features_and_resize(spark):

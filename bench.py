@@ -245,12 +245,15 @@ def _scale_slices(spark) -> dict:
     return out
 
 
-def _calibrated_vs_prev(queries: dict, calib: dict) -> dict:
+def _calibrated_vs_prev(queries: dict, calib: dict,
+                        section: str | None = None) -> dict:
     """Host-noise-corrected round-over-round deltas (VERDICT r3 item 8):
     scale this round's per-query seconds by the ratio of the fixed
     Spark calibration probe vs the previous round's BENCH file, so a
     genuine plan regression separates from the ~10% (observed up to 2×)
-    host-speed oscillation. Previous file = highest BENCH_r*.json here."""
+    host-speed oscillation. Previous file = highest BENCH_r*.json here.
+    ``section`` compares against a sub-object of the previous file (the
+    "sf1" block) instead of its top level."""
     import glob
     import re as _re
 
@@ -267,12 +270,16 @@ def _calibrated_vs_prev(queries: dict, calib: dict) -> dict:
         with open(path) as fh:
             cand = json.load(fh)
         cand = cand.get("parsed") or cand
-        if cand.get("calib_spark_sec"):
+        if cand.get("calib_spark_sec") and (
+            section is None or cand.get(section)
+        ):
             prev, prev_file = cand, path
             break
     if prev is None:
         return {}
     prev_probe = prev["calib_spark_sec"]
+    if section is not None:
+        prev = prev[section]
     ratio = calib["calib_spark_sec"] / prev_probe
     prev_q = prev.get("queries", {})
     return {
@@ -375,14 +382,25 @@ def main() -> None:
         t0 = time.time()
         kg_openie_triples(spark, SF1_DIR).agg(F.count("*")).collect()
         q1["kg_openie_triples"] = round(time.time() - t0, 3)
+        # r6: the FULL suite at the decade-up scale, not just the KG
+        # chain — regressions in the dedup/ANN/graph families at the
+        # scale that matters are tracked round-over-round (VERDICT r5
+        # item 4). Same PIPELINE_BENCH dict as the sf0.1 suite so the
+        # two sections stay name-comparable.
+        for name, fn in PIPELINE_BENCH.items():
+            t0 = time.time()
+            fn(spark, SF1_DIR).agg(F.count("*")).collect()
+            q1[name] = round(time.time() - t0, 3)
         sf1 = {
             "sf1": {
                 "value": round(
                     sum(q1[n] for n in R01_HEADLINE_QUERIES), 3
                 ),
+                "suite_sec": round(sum(q1.values()), 3),
                 "queries": q1,
                 "n_edges": sf1_edges,
                 "triples_per_sec": round(sf1_edges / sf1_build, 1),
+                **_calibrated_vs_prev(q1, calib, section="sf1"),
             }
         }
 

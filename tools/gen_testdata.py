@@ -25,7 +25,19 @@ construction — the honest way to scale a fixed corpus:
 * generated names keep the key bijection (Customer#<key>).
 
 Everything is hashlib-deterministic: same output bytes on every run,
-no RNG state, no wall clock. Run:  python tools/gen_testdata.py [out_dir]
+no RNG state, no wall clock. Copies stream into one ParquetWriter, so
+peak memory is a single sf0.1 copy regardless of the copy count — the
+r6 sf10 build (100 copies, 500k docs / 200k embeddings) uses the same
+machinery with a table subset. Because the per-copy transform depends
+only on (k, key), the sf10 tables are strict supersets of sf1's, which
+are strict supersets of sf0.1's.
+
+Run:  python tools/gen_testdata.py [out_dir] [n_copies] [tables...]
+  (no tables → all fact tables; with tables → the listed tables are
+  replicated and the REST pass through at sf0.1 scale, so only queries
+  over the listed tables may be evidenced from that directory —
+  .data/sf10 scales documents+embeddings for the pair-generating
+  dedup/similarity families.)
 """
 from __future__ import annotations
 
@@ -128,18 +140,41 @@ def _rotate_embeddings(tbl: pa.Table, k: int) -> pa.Table:
     )
 
 
-def build(out_dir: str = DEFAULT_OUT, n_copies: int = N_COPIES) -> None:
+FACT_TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+
+
+def build(
+    out_dir: str = DEFAULT_OUT,
+    n_copies: int = N_COPIES,
+    tables: tuple[str, ...] | None = None,
+    passthrough_rest: bool = False,
+) -> None:
+    """Replicate ``tables`` (default: all fact tables) ``n_copies``
+    times into ``out_dir``. Copies stream into one ParquetWriter so
+    peak memory is one copy regardless of n_copies (the sf10 builds
+    use n_copies=100). ``passthrough_rest`` copies the UNSCALED sf0.1
+    file for every fact table not in ``tables`` — used by the selective
+    sf10 build so the directory still satisfies the 10-table contract
+    (the non-subset tables are explicitly NOT at sf10; only queries
+    over the scaled tables may be evidenced from such a directory)."""
+    tables = tuple(tables) if tables else FACT_TABLES
     os.makedirs(out_dir, exist_ok=True)
     for t in ("region", "nation"):
         src = pq.read_table(f"{SRC}/{t}.parquet")
         pq.write_table(src, f"{out_dir}/{t}.parquet")
         print(f"{t}: {src.num_rows} (fixed dim)")
-    for t in (
-        "customer", "supplier", "part", "orders", "lineitem",
-        "events", "documents", "embeddings",
-    ):
+    for t in FACT_TABLES:
         src = pq.read_table(f"{SRC}/{t}.parquet")
-        copies = []
+        if t not in tables:
+            if passthrough_rest:
+                pq.write_table(src, f"{out_dir}/{t}.parquet")
+                print(f"{t}: {src.num_rows} (passthrough, NOT scaled)")
+            continue
+        writer = None
+        n_out = 0
         for k in range(n_copies):
             c = _shift_keys(src, k)
             if t == "customer":
@@ -150,11 +185,16 @@ def build(out_dir: str = DEFAULT_OUT, n_copies: int = N_COPIES) -> None:
                 c = _perturb_text(c, k)
             elif t == "embeddings":
                 c = _rotate_embeddings(c, k)
-            copies.append(c)
-        out = pa.concat_tables(copies)
-        pq.write_table(out, f"{out_dir}/{t}.parquet")
-        print(f"{t}: {src.num_rows} -> {out.num_rows}")
+            if writer is None:
+                writer = pq.ParquetWriter(f"{out_dir}/{t}.parquet", c.schema)
+            writer.write_table(c)
+            n_out += c.num_rows
+        writer.close()
+        print(f"{t}: {src.num_rows} -> {n_out}")
 
 
 if __name__ == "__main__":
-    build(*(sys.argv[1:2] or [DEFAULT_OUT]))
+    out = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_OUT
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else N_COPIES
+    tbls = tuple(sys.argv[3:]) or None
+    build(out, n, tbls, passthrough_rest=tbls is not None)

@@ -1,11 +1,15 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
-The container has no decode libraries (PIL/ffmpeg), so the decode kernel is
-STUBBED: ``decode_media`` raises NotImplementedError unless the
-deterministic fake decoder is selected. Everything around the stub — the
-binary column handling, Arrow batch shape, ``mapInPandas`` signature,
-declared output schema, partition behavior — is real and tested; swapping
-in a real decoder is a one-function change.
+The container has no decode libraries (PIL/ffmpeg). Two REAL pure-stdlib
+codecs ship anyway — PNG (full IDAT inflate + filter reversal + PLTE
+palettes) and GIF (LZW + interlace + color tables), dispatched by magic
+bytes via ``decode_image`` — while JPEG/video stay behind a documented
+NotImplementedError seam: those genuinely need codec libraries. The
+deterministic fake decoder remains the oracle-paired default so the
+registered queries never depend on byte-level codec behavior. Everything
+around the seam — the binary column handling, Arrow batch shape,
+``mapInPandas`` signature, declared output schema, partition behavior —
+is identical for fake and real decoders.
 
 Scale notes: media bytes dominate row size, so the kernel runs via
 ``mapInPandas`` (per-partition batch iterator) — one Arrow transfer per
@@ -142,6 +146,142 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, ch, bytes(out)
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(stream: bytes, min_code_size: int, max_pixels: int) -> bytes:
+    """GIF-variant LZW: variable-width codes packed LSB-first, CLEAR
+    resets the table, widths grow to 12 bits. Standard published
+    algorithm (CompuServe GIF89a spec appendix)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total_bits = len(stream) * 8
+    while bitpos + code_size <= total_bits and len(out) < max_pixels:
+        byte_i, bit_o = divmod(bitpos, 8)
+        chunk = int.from_bytes(stream[byte_i:byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:max_pixels])
+
+
+def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Reorder 4-pass GIF interlaced rows back to top-to-bottom."""
+    rows = [idx[i * w:(i + 1) * w] for i in range(h)]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    out: list[bytes | None] = [None] * h
+    for row, y in zip(rows, order):
+        out[y] = row
+    return b"".join(out)  # type: ignore[arg-type]
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib GIF decode (first frame) → (w, h, 3, RGB pixels).
+
+    Real decoding: header + logical screen descriptor, global/local
+    color tables, extension-block skip, sub-block reassembly, LZW
+    decompress (variable-width codes, CLEAR handling), optional 4-pass
+    de-interlace, palette expansion to RGB. Animated GIFs yield their
+    FIRST frame — the common thumbnail/feature-extraction contract."""
+    if data[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF byte stream")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: introducer + label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            iw = int.from_bytes(data[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7:pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = data[pos:pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(stream), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            if iflags & 0x40:
+                idx = _gif_deinterlace(idx, iw, ih)
+            rgb = bytearray(iw * ih * 3)
+            for i, k in enumerate(idx):
+                if 3 * k + 3 > len(ct):
+                    raise ValueError(f"color index {k} out of range")
+                rgb[3 * i:3 * i + 3] = ct[3 * k:3 * k + 3]
+            return iw, ih, 3, bytes(rgb)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-byte dispatch over the shipped pure-stdlib codecs (PNG,
+    GIF). JPEG/video remain the documented NotImplementedError seam —
+    they genuinely need codec libraries absent from this container."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:6] in _GIF_SIGS:
+        return decode_gif(data)
+    raise NotImplementedError(
+        "unrecognized image magic — shipped codecs: PNG, GIF; JPEG/video "
+        "need libraries not present in this container"
+    )
+
+
 def decode_media(data: bytes, decoder: str = "fake-v1") -> tuple[int, int]:
     """Decode media bytes → (width, height).
 
@@ -157,10 +297,17 @@ def decode_media(data: bytes, decoder: str = "fake-v1") -> tuple[int, int]:
     if decoder == "png-v1":
         w, h, _ch, _px = decode_png(data)
         return w, h
+    if decoder == "gif-v1":
+        w, h, _ch, _px = decode_gif(data)
+        return w, h
+    if decoder == "image-v1":
+        w, h, _ch, _px = decode_image(data)
+        return w, h
     raise NotImplementedError(
         f"decoder {decoder!r} requires media libraries not present in this "
-        "container; 'fake-v1' (deterministic stub) and 'png-v1' "
-        "(pure-stdlib PNG) are available"
+        "container; 'fake-v1' (deterministic stub), 'png-v1' / 'gif-v1' "
+        "(pure-stdlib codecs) and 'image-v1' (magic dispatch over both) "
+        "are available"
     )
 
 
@@ -204,11 +351,15 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+_REAL_DECODERS = ("png-v1", "gif-v1", "image-v1")
+
+
 def _png_luma_hist_ppm(data: bytes) -> str:
     """REAL pixel features: 8-bin luminance histogram (ppm) over the
-    decoded PNG — same output shape as the fake path (8 comma-joined
-    integers), so downstream plumbing is decoder-agnostic."""
-    _w, _h, ch, px = decode_png(data)
+    decoded image (PNG or GIF via magic dispatch) — same output shape
+    as the fake path (8 comma-joined integers), so downstream plumbing
+    is decoder-agnostic."""
+    _w, _h, ch, px = decode_image(data)
     bins = [0] * 8
     if ch == 1:
         for v in px:
@@ -227,7 +378,7 @@ def media_features_frame(frame: DataFrame,
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "png-v1":
+            if decoder in _REAL_DECODERS:
                 feats = pdf["media"].map(
                     lambda b: _png_luma_hist_ppm(bytes(b))
                 )
@@ -275,9 +426,9 @@ RESIZE_SCHEMA = StructType(
 
 
 def png_resize_nearest(data: bytes, w: int, h: int) -> bytes:
-    """Real nearest-neighbor resize of a decoded PNG → raw pixel
-    buffer of w*h*channels bytes."""
-    in_w, in_h, ch, px = decode_png(data)
+    """Real nearest-neighbor resize of a decoded image (PNG or GIF via
+    magic dispatch) → raw pixel buffer of w*h*channels bytes."""
+    in_w, in_h, ch, px = decode_image(data)
     out = bytearray(w * h * ch)
     for y in range(h):
         sy = y * in_h // h
@@ -296,7 +447,7 @@ def media_resize_frame(frame: DataFrame, w: int, h: int,
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = w * h
         for pdf in batches:
-            if decoder == "png-v1":
+            if decoder in _REAL_DECODERS:
                 out = pdf["media"].map(
                     lambda b: len(png_resize_nearest(bytes(b), w, h))
                 )

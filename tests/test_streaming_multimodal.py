@@ -318,3 +318,125 @@ def test_real_png_through_features_and_resize(spark):
     assert rs == {1: 8 * 8 * 3, 2: 8 * 8 * 3}
     # pixel-level: upscaling a uniform image stays uniform
     assert png_resize_nearest(png_b, 8, 8) == bytes([250] * (8 * 8 * 3))
+
+
+def _encode_gif(width, height, indices, palette, interlaced=False,
+                animated_prefix=False):
+    """Test-side GIF encoder: emits a CLEAR code before every pixel
+    code (legal per the GIF89a spec, keeps the LZW table trivial), so
+    the decoder's table-reset and bit-unpacking paths are exercised
+    without needing a production encoder. Optionally writes the rows
+    in 4-pass interlace order and/or prepends a graphic-control
+    extension block (the animated-GIF shape)."""
+    n_colors = max(4, 1 << (max(indices) + 1).bit_length())
+    min_code = max(2, (n_colors - 1).bit_length())
+    n_colors = 1 << min_code
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+
+    rows = [indices[y * width:(y + 1) * width] for y in range(height)]
+    if interlaced:
+        order = (
+            list(range(0, height, 8)) + list(range(4, height, 8))
+            + list(range(2, height, 4)) + list(range(1, height, 2))
+        )
+        rows = [rows[y] for y in order]
+
+    bits = bytearray()
+    acc, n_acc = 0, 0
+
+    def emit(code):
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += code_size
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    for row in rows:
+        for px in row:
+            emit(clear)
+            emit(px)
+    emit(end)
+    if n_acc:
+        bits.append(acc & 0xFF)
+
+    pal = bytes(palette) + bytes(3 * n_colors - len(palette))
+    flags = 0x80 | (min_code - 1)  # global color table, size bits
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([flags, 0, 0]) + pal
+    if animated_prefix:  # graphic-control extension, must be skipped
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    out += bytes([0x2C]) + bytes(4)  # descriptor at (0,0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00, min_code])
+    for i in range(0, len(bits), 255):
+        blk = bits[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_and_interlace():
+    """LZW decode, palette expansion, 4-pass de-interlace and
+    extension-block skipping against a hand-built GIF."""
+    from kg_covid_19_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+    )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 20, 20, 20])
+    idx = [(x + y) % 4 for y in range(9) for x in range(5)]  # 5×9
+    want = bytes(b for k in idx for b in plte[3 * k:3 * k + 3])
+
+    plain = _encode_gif(5, 9, idx, plte)
+    assert decode_gif(plain) == (5, 9, 3, want)
+    assert decode_image(plain) == (5, 9, 3, want)
+
+    inter = _encode_gif(5, 9, idx, plte, interlaced=True)
+    assert decode_gif(inter) == (5, 9, 3, want)
+
+    anim = _encode_gif(5, 9, idx, plte, animated_prefix=True)
+    assert decode_gif(anim) == (5, 9, 3, want)
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_gif_through_features_and_resize(spark):
+    """A real GIF through the same mapInPandas kernels the registered
+    media queries use, via the magic-dispatch 'image-v1' decoder —
+    alongside a PNG in the same frame, proving one kernel handles a
+    mixed-format corpus."""
+    from kg_covid_19_spark.operators.multimodal import (
+        decode_media,
+        media_features_frame,
+        media_resize_frame,
+    )
+
+    plte = bytes([10, 10, 10, 250, 250, 250])
+    gif_dark = _encode_gif(4, 4, [0] * 16, plte)
+    png_light = _encode_palette_png(4, 4, [1] * 16, plte, depth=8)
+    assert decode_media(gif_dark, "gif-v1") == (4, 4)
+    assert decode_media(gif_dark, "image-v1") == (4, 4)
+
+    frame = spark.createDataFrame(
+        [(1, bytearray(gif_dark)), (2, bytearray(png_light))],
+        "doc_id long, media binary",
+    )
+    feats = {
+        r["doc_id"]: r["f0"]
+        for r in media_features_frame(frame, "image-v1").collect()
+    }
+    assert feats[1].split(",")[0] == "1000000"   # dark GIF: bin 0
+    assert feats[2].split(",")[7] == "1000000"   # light PNG: bin 7
+
+    rs = {
+        r["doc_id"]: r["out_bytes"]
+        for r in media_resize_frame(frame, 8, 8, "image-v1").collect()
+    }
+    assert rs == {1: 8 * 8 * 3, 2: 8 * 8 * 3}

@@ -1,10 +1,13 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
-The container has no decode libraries (PIL/ffmpeg). Two REAL pure-stdlib
-codecs ship anyway — PNG (full IDAT inflate + filter reversal + PLTE
-palettes) and GIF (LZW + interlace + color tables), dispatched by magic
-bytes via ``decode_image`` — while JPEG/video stay behind a documented
-NotImplementedError seam: those genuinely need codec libraries. The
+The container has no decode libraries (PIL/ffmpeg). Three REAL codecs
+ship anyway — PNG (full IDAT inflate + filter reversal + PLTE
+palettes), GIF (LZW + interlace + color tables) and baseline JPEG
+(canonical Huffman + dequant/dezigzag + IDCT + chroma upsample +
+YCbCr→RGB), dispatched by magic bytes via ``decode_image`` — while
+compressed video stays behind a documented NotImplementedError seam
+(uncompressed Y4M frames are real): those genuinely need codec
+libraries. The
 deterministic fake decoder remains the oracle-paired default so the
 registered queries never depend on byte-level codec behavior. Everything
 around the seam — the binary column handling, Arrow batch shape,
@@ -268,17 +271,298 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("GIF contains no image data")
 
 
+# --- baseline JPEG (ITU-T T.81) -------------------------------------------
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_idct_basis = None  # lazy 8x8 DCT-III basis (numpy), built once
+
+
+def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical JPEG Huffman table (T.81 Annex C): BITS counts per code
+    length 1..16 + the symbol list in code order → {(length, code): sym}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit cursor over a de-stuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte_i, bit_o = divmod(self.pos, 8)
+        if byte_i >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted")
+        self.pos += 1
+        return (self.data[byte_i] >> (7 - bit_o)) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(br: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map n received bits to a signed coefficient."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _jpeg_decode_block(br: _JpegBits, dc_tab: dict, ac_tab: dict,
+                       pred: int) -> tuple[int, list]:
+    """One 8x8 block: DC diff + run-length AC (EOB/ZRL), zigzag order."""
+    s = _jpeg_huff_decode(br, dc_tab)
+    dc = pred + _jpeg_extend(br.receive(s), s)
+    coefs = [0] * 64
+    coefs[0] = dc
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        coefs[k] = _jpeg_extend(br.receive(s), s)
+        k += 1
+    return dc, coefs
+
+
+def _jpeg_idct_8x8(coefs: list, quant: list):
+    """Dequantize (zigzag-ordered) coefficients and inverse-DCT one
+    block → 8x8 float array, level-shifted to [0, 255]."""
+    import numpy as np
+
+    global _idct_basis
+    if _idct_basis is None:
+        import math
+
+        m = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / math.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _idct_basis = m
+    f = np.zeros(64)
+    for i in range(64):
+        f[_JPEG_ZIGZAG[i]] = coefs[i] * quant[i]
+    f = f.reshape(8, 8)
+    px = _idct_basis.T @ f @ _idct_basis + 128.0
+    return np.clip(np.round(px), 0, 255)
+
+
+def _jpeg_scan_segments(data: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data from SOS end to the next true marker, split at
+    restart markers (FFD0–FFD7) and byte-unstuffed (FF00 → FF)."""
+    segments, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next real marker: scan is over
+            break
+    segments.append(bytes(cur))
+    return segments
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python baseline JPEG decode → (w, h, channels, pixels).
+
+    Real decoding, no codec libraries: marker walk (DQT 8/16-bit
+    tables, DHT canonical Huffman, SOF0/SOF1, DRI, APPn/COM skip),
+    entropy decode (byte unstuffing, restart-interval predictor
+    resets, DC prediction + EXTEND, AC run-length with EOB/ZRL),
+    dequantize + dezigzag, separable float IDCT (numpy, batch-side),
+    replicated chroma upsampling for the standard integer sampling
+    ratios (4:4:4 / 4:2:2 / 4:2:0), and JFIF YCbCr→RGB. Grayscale
+    JPEGs yield channels=1, color channels=3. Progressive (SOF2),
+    arithmetic-coded, and 12-bit streams raise NotImplementedError —
+    that residue genuinely needs a full codec library."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG byte stream")
+    quant: dict[int, list] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
+    pos = 2
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq:
+                    quant[tq] = [
+                        struct.unpack(">H", body[i + 2 * k:i + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    i += 128
+                else:
+                    quant[tq] = list(body[i:i + 64])
+                    i += 64
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = body[i + 1:i + 17]
+                nvals = sum(bits)
+                vals = body[i + 17:i + 17 + nvals]
+                (huff_ac if tc else huff_dc)[th] = _jpeg_huff_table(bits, vals)
+                i += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("12-bit JPEG needs a codec library")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
+                "hierarchical) needs a full codec library"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ncomp = body[0]
+            scan = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                     body[2 + 2 * c] & 0x0F) for c in range(ncomp)]
+            pos += 2 + seg_len
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component pixel planes at native sampling resolution
+    planes = {
+        cid: np.zeros((mcus_y * v * 8, mcus_x * hh * 8))
+        for cid, hh, v, _tq in comps
+    }
+    comp_info = {cid: (hh, v, tq) for cid, hh, v, tq in comps}
+    scan_tabs = {cid: (huff_dc[dct], huff_ac[act]) for cid, dct, act in scan}
+    segments = _jpeg_scan_segments(data, pos)
+    seg_i = 0
+    br = _JpegBits(segments[0])
+    preds = {cid: 0 for cid, *_ in comps}
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1  # restart: next segment, fresh predictors
+            if seg_i >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            br = _JpegBits(segments[seg_i])
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(mcu, mcus_x)
+        for cid, _dct, _act in scan:
+            hh, v, tq = comp_info[cid]
+            dc_tab, ac_tab = scan_tabs[cid]
+            for by in range(v):
+                for bx in range(hh):
+                    preds[cid], coefs = _jpeg_decode_block(
+                        br, dc_tab, ac_tab, preds[cid]
+                    )
+                    px = _jpeg_idct_8x8(coefs, quant[tq])
+                    y0 = (my * v + by) * 8
+                    x0 = (mx * hh + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    # upsample to full resolution (replicate — integer ratios) + crop
+    full = []
+    for cid, hh, v, _tq in comps:
+        p = planes[cid]
+        if hh < hmax or v < vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // hh, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return w, h, 1, bytes(full[0].astype(np.uint8).tobytes())
+    if len(full) != 3:
+        raise NotImplementedError("CMYK/unusual JPEG needs a codec library")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+    return w, h, 3, bytes(rgb.astype(np.uint8).tobytes())
+
+
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     """Magic-byte dispatch over the shipped pure-stdlib codecs (PNG,
-    GIF). JPEG/video remain the documented NotImplementedError seam —
-    they genuinely need codec libraries absent from this container."""
+    GIF, baseline JPEG). Video remains the documented seam in
+    ``decode_media`` — real Y4M frames ship there; compressed video
+    codecs genuinely need libraries absent from this container."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:6] in _GIF_SIGS:
         return decode_gif(data)
+    if data[:2] == b"\xFF\xD8":
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "unrecognized image magic — shipped codecs: PNG, GIF; JPEG/video "
-        "need libraries not present in this container"
+        "unrecognized image magic — shipped codecs: PNG, GIF, baseline "
+        "JPEG; compressed video needs libraries not present in this "
+        "container"
     )
 
 
@@ -300,14 +584,17 @@ def decode_media(data: bytes, decoder: str = "fake-v1") -> tuple[int, int]:
     if decoder == "gif-v1":
         w, h, _ch, _px = decode_gif(data)
         return w, h
+    if decoder == "jpeg-v1":
+        w, h, _ch, _px = decode_jpeg(data)
+        return w, h
     if decoder == "image-v1":
         w, h, _ch, _px = decode_image(data)
         return w, h
     raise NotImplementedError(
         f"decoder {decoder!r} requires media libraries not present in this "
-        "container; 'fake-v1' (deterministic stub), 'png-v1' / 'gif-v1' "
-        "(pure-stdlib codecs) and 'image-v1' (magic dispatch over both) "
-        "are available"
+        "container; 'fake-v1' (deterministic stub), 'png-v1' / 'gif-v1' / "
+        "'jpeg-v1' (pure-stdlib codecs) and 'image-v1' (magic dispatch over "
+        "all three) are available"
     )
 
 
@@ -351,7 +638,7 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-_REAL_DECODERS = ("png-v1", "gif-v1", "image-v1")
+_REAL_DECODERS = ("png-v1", "gif-v1", "jpeg-v1", "image-v1")
 
 
 def _png_luma_hist_ppm(data: bytes) -> str:
@@ -491,26 +778,94 @@ FRAMES_SCHEMA = StructType(
 )
 
 
-def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling kernel shape: a 'video' binary is a sequence of
-    FRAME_BYTES-sized frames; every FRAME_STEP-th frame is cut out.
-    The kernel slices real bytes and projects the slices to lengths so
-    the row explosion (1 video → k frames) and batch shape are tested."""
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def y4m_frames(data: bytes, step: int = 1):
+    """REAL video frame sampling: parse a YUV4MPEG2 stream and yield
+    ``(frame_idx, width, height, y_plane_bytes)`` for every ``step``-th
+    frame. Y4M is the standard uncompressed interchange container
+    (mjpegtools/ffmpeg): one ASCII header line (W/H/C tokens), then
+    ``FRAME\\n`` + planar YCbCr per frame. Supports C420*/C422/C444/
+    Cmono chroma layouts; compressed codecs stay behind the
+    NotImplementedError seam in ``decode_image``."""
+    if not data.startswith(_Y4M_SIG):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = None
+    cs = "C420jpeg"  # spec default when no C token is present
+    for tok in data[len(_Y4M_SIG) - 1:nl].decode("ascii").split():
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            cs = tok
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("C420"):
+        chroma = 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif cs.startswith("C422"):
+        chroma = 2 * ((w + 1) // 2) * h
+    elif cs.startswith("C444"):
+        chroma = 2 * w * h
+    elif cs.startswith("Cmono"):
+        chroma = 0
+    else:
+        raise NotImplementedError(f"Y4M chroma layout {cs!r}")
+    frame_size = w * h + chroma
+    pos = nl + 1
+    idx = 0
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad Y4M frame marker at {pos}")
+        body = data[fnl + 1:fnl + 1 + frame_size]
+        if len(body) < frame_size:
+            raise ValueError("Y4M frame truncated")
+        if idx % step == 0:
+            yield idx, w, h, bytes(body[:w * h])
+        pos = fnl + 1 + frame_size
+        idx += 1
+
+
+def media_frame_sample_frame(frame: DataFrame,
+                             decoder: str = "fake-v1") -> DataFrame:
+    """(doc_id, media) frame → every FRAME_STEP-th frame's index+length.
+
+    'fake-v1' slices FRAME_BYTES windows out of the raw bytes (the
+    oracle-paired contract); 'y4m-v1' parses a REAL YUV4MPEG2 stream
+    and reports the sampled frames' luma-plane sizes. Row explosion
+    (1 video → k frames) and Arrow batch shape are identical."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
                 b = bytes(media)
-                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
-                for i in range(0, n_frames, FRAME_STEP):
-                    frame = b[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
-                    rows.append((doc_id, i, len(frame)))
+                if decoder == "y4m-v1":
+                    for i, _w, _h, y_plane in y4m_frames(b, FRAME_STEP):
+                        rows.append((doc_id, i, len(y_plane)))
+                else:
+                    n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                    for i in range(0, n_frames, FRAME_STEP):
+                        fr = b[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                        rows.append((doc_id, i, len(fr)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_len"]
             ).astype({"frame_idx": "int32", "frame_len": "int32"})
 
-    return media_frame(spark, sf_dir).mapInPandas(sample, FRAMES_SCHEMA)
+    return frame.mapInPandas(sample, FRAMES_SCHEMA)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling kernel shape: a 'video' binary is a sequence of
+    FRAME_BYTES-sized frames; every FRAME_STEP-th frame is cut out.
+    The registered path slices real bytes and projects the slices to
+    lengths so the row explosion (1 video → k frames) and batch shape
+    are tested; the SAME kernel parses real YUV4MPEG2 video when
+    decoder='y4m-v1' (media_frame_sample_frame — pinned by pytest)."""
+    return media_frame_sample_frame(media_frame(spark, sf_dir))
 
 
 def _feat_sql() -> str:

@@ -440,3 +440,294 @@ def test_gif_through_features_and_resize(spark):
         for r in media_resize_frame(frame, 8, 8, "image-v1").collect()
     }
     assert rs == {1: 8 * 8 * 3, 2: 8 * 8 * 3}
+
+
+# --- baseline JPEG: hand-built encoder (test-side) --------------------------
+#
+# The decoder under test must not be validated against itself, so the test
+# builds baseline-JPEG byte streams from the T.81 spec directly: custom
+# minimal canonical Huffman tables (12 DC categories at code length 4, four
+# AC symbols at length 2), an MSB-first bit-writer with FF00 byte stuffing,
+# and a flat all-ones quantization table so expected pixels are computable
+# by the published IDCT formula in closed form.
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def enc_dc(self, diff):
+        cat = abs(diff).bit_length()
+        self.write(cat, 4)  # DC table: category c == 4-bit code c
+        if cat:
+            self.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    def enc_ac_val(self, value, size):  # symbol 0x07 (run 0, size 7): code 01
+        assert size == 7
+        self.write(0b01, 2)
+        self.write(value if value >= 0 else value + (1 << size) - 1, size)
+
+    def enc_eob(self):  # symbol 0x00: code 00
+        self.write(0b00, 2)
+
+    def flush_stuffed(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _jpeg_seg(marker, body):
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_headers(w, h, comps, dri=0):
+    """SOI + DQT(flat 1s) + SOF0 + DHT (custom minimal tables) + SOS."""
+    import struct
+
+    out = b"\xFF\xD8"
+    out += _jpeg_seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hh, v in comps:
+        sof += bytes([cid, (hh << 4) | v, 0])
+    out += _jpeg_seg(0xC0, sof)
+    dc = b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    ac = b"\x10" + bytes([0, 4] + [0] * 14) + bytes([0x00, 0x07, 0x11, 0xF0])
+    out += _jpeg_seg(0xC4, dc + ac)
+    if dri:
+        out += _jpeg_seg(0xDD, struct.pack(">H", dri))
+    sos = bytes([len(comps)])
+    for cid, _hh, _v in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_seg(0xDA, sos)
+    return out
+
+
+def test_jpeg_decode_solid_and_dc_prediction():
+    """DC-only blocks: coefficient F00=q*diff, IDCT gives F00/8 + 128
+    everywhere; the second block's DC rides on the first's predictor."""
+    from kg_covid_19_spark.operators.multimodal import decode_jpeg
+
+    bw = _JpegBitWriter()
+    bw.enc_dc(80)
+    bw.enc_eob()
+    jpeg = _jpeg_headers(8, 8, [(1, 1, 1)]) + bw.flush_stuffed() + b"\xFF\xD9"
+    w, h, ch, px = decode_jpeg(jpeg)
+    assert (w, h, ch) == (8, 8, 1)
+    assert set(px) == {138}  # 80/8 + 128
+
+    bw = _JpegBitWriter()
+    bw.enc_dc(80)
+    bw.enc_eob()
+    bw.enc_dc(-16)  # second block: dc = 80 - 16 = 64 -> 136
+    bw.enc_eob()
+    jpeg = _jpeg_headers(16, 8, [(1, 1, 1)]) + bw.flush_stuffed() + b"\xFF\xD9"
+    w, h, ch, px = decode_jpeg(jpeg)
+    assert (w, h, ch) == (16, 8, 1)
+    for y in range(8):
+        row = px[y * 16:(y + 1) * 16]
+        assert set(row[:8]) == {138} and set(row[8:]) == {136}
+
+
+def test_jpeg_decode_ac_coefficient_matches_idct_formula():
+    """One AC coefficient at zigzag index 1 — (u,v)=(0,1), a horizontal
+    cosine — checked against the published T.81 IDCT formula computed
+    independently here."""
+    import math
+
+    from kg_covid_19_spark.operators.multimodal import decode_jpeg
+
+    bw = _JpegBitWriter()
+    bw.enc_dc(0)
+    bw.enc_ac_val(64, 7)  # zigzag k=1
+    bw.enc_eob()
+    jpeg = _jpeg_headers(8, 8, [(1, 1, 1)]) + bw.flush_stuffed() + b"\xFF\xD9"
+    w, h, ch, px = decode_jpeg(jpeg)
+    assert (w, h, ch) == (8, 8, 1)
+    expected = [
+        max(0, min(255, round(
+            128 + 64 / (4 * math.sqrt(2)) * math.cos((2 * x + 1) * math.pi / 16)
+        )))
+        for x in range(8)
+    ]
+    for y in range(8):
+        assert list(px[y * 8:(y + 1) * 8]) == expected
+
+
+def test_jpeg_decode_420_color_and_upsampling():
+    """4:2:0 16x16 solid YCbCr MCU (four Y blocks + one Cb + one Cr):
+    chroma replication + the JFIF color transform, against the published
+    YCbCr->RGB formula."""
+    from kg_covid_19_spark.operators.multimodal import decode_jpeg
+
+    bw = _JpegBitWriter()
+    for diff in (96, 0, 0, 0):  # Y = 140: F00 = 96, then predicted
+        bw.enc_dc(diff)
+        bw.enc_eob()
+    bw.enc_dc(-64)  # Cb = 120
+    bw.enc_eob()
+    bw.enc_dc(64)   # Cr = 136
+    bw.enc_eob()
+    jpeg = (
+        _jpeg_headers(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+        + bw.flush_stuffed() + b"\xFF\xD9"
+    )
+    w, h, ch, px = decode_jpeg(jpeg)
+    assert (w, h, ch) == (16, 16, 3)
+    # JFIF: R=Y+1.402(Cr-128), G=Y-0.344136(Cb-128)-0.714136(Cr-128),
+    # B=Y+1.772(Cb-128) with (Y,Cb,Cr)=(140,120,136)
+    assert set(px[0::3]) == {151}
+    assert set(px[1::3]) == {137}
+    assert set(px[2::3]) == {126}
+
+
+def test_jpeg_restart_markers_reset_predictors():
+    """DRI=1: each MCU is its own entropy segment; the second block's DC
+    of 80 decodes as an absolute value again because RST0 reset the
+    predictor — same expected pixels as the no-restart two-block image."""
+    from kg_covid_19_spark.operators.multimodal import decode_jpeg
+
+    seg0 = _JpegBitWriter()
+    seg0.enc_dc(80)
+    seg0.enc_eob()
+    seg1 = _JpegBitWriter()
+    seg1.enc_dc(80)  # absolute again: predictor was reset
+    seg1.enc_eob()
+    jpeg = (
+        _jpeg_headers(16, 8, [(1, 1, 1)], dri=1)
+        + seg0.flush_stuffed() + b"\xFF\xD0" + seg1.flush_stuffed()
+        + b"\xFF\xD9"
+    )
+    _w, _h, _ch, px = decode_jpeg(jpeg)
+    assert set(px) == {138}
+
+
+def test_jpeg_progressive_stays_behind_seam():
+    import struct
+
+    import pytest as _pytest
+
+    from kg_covid_19_spark.operators.multimodal import decode_jpeg
+
+    sof2 = (
+        b"\xFF\xD8"
+        + _jpeg_seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+
+def test_jpeg_through_features_and_resize(spark):
+    """A real JPEG through the same mapInPandas kernels the registered
+    media queries use — in one frame with a PNG and a GIF, proving the
+    'image-v1' kernel handles a three-format corpus."""
+    from kg_covid_19_spark.operators.multimodal import (
+        decode_media,
+        media_features_frame,
+        media_resize_frame,
+    )
+
+    bw = _JpegBitWriter()
+    bw.enc_dc(80)  # solid 138 gray: luminance bin 4
+    bw.enc_eob()
+    jpeg = _jpeg_headers(8, 8, [(1, 1, 1)]) + bw.flush_stuffed() + b"\xFF\xD9"
+    assert decode_media(jpeg, "jpeg-v1") == (8, 8)
+    assert decode_media(jpeg, "image-v1") == (8, 8)
+
+    plte = bytes([10, 10, 10, 250, 250, 250])
+    gif_dark = _encode_gif(4, 4, [0] * 16, plte)
+    png_light = _encode_palette_png(4, 4, [1] * 16, plte, depth=8)
+    frame = spark.createDataFrame(
+        [(1, bytearray(jpeg)), (2, bytearray(gif_dark)),
+         (3, bytearray(png_light))],
+        "doc_id long, media binary",
+    )
+    feats = {
+        r["doc_id"]: r["f0"]
+        for r in media_features_frame(frame, "image-v1").collect()
+    }
+    assert feats[1].split(",")[4] == "1000000"   # gray 138 JPEG: bin 4
+    assert feats[2].split(",")[0] == "1000000"   # dark GIF: bin 0
+    assert feats[3].split(",")[7] == "1000000"   # light PNG: bin 7
+
+    rs = {
+        r["doc_id"]: r["out_bytes"]
+        for r in media_resize_frame(frame, 8, 8, "image-v1").collect()
+    }
+    assert rs == {1: 8 * 8 * 1, 2: 8 * 8 * 3, 3: 8 * 8 * 3}
+
+
+# --- Y4M (YUV4MPEG2) real video frames --------------------------------------
+
+
+def _encode_y4m(w, h, lumas, cs="C420jpeg"):
+    """Test-side Y4M writer straight from the mjpegtools format spec:
+    ASCII header + FRAME\\n + planar YCbCr (chroma planes zero-filled)."""
+    if cs.startswith("C420"):
+        chroma = 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif cs.startswith("C444"):
+        chroma = 2 * w * h
+    elif cs.startswith("Cmono"):
+        chroma = 0
+    else:
+        raise AssertionError(cs)
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {cs}\n".encode())
+    for y_plane in lumas:
+        assert len(y_plane) == w * h
+        out += b"FRAME\n" + y_plane + bytes(chroma)
+    return bytes(out)
+
+
+def test_y4m_frames_sampling_and_layouts():
+    from kg_covid_19_spark.operators.multimodal import y4m_frames
+
+    lumas = [bytes([k] * 16) for k in range(10)]
+    data = _encode_y4m(4, 4, lumas)
+    got = list(y4m_frames(data, step=4))
+    assert [(i, w, h) for i, w, h, _y in got] == [(0, 4, 4), (4, 4, 4), (8, 4, 4)]
+    assert [y[0] for _i, _w, _h, y in got] == [0, 4, 8]  # right frames' pixels
+
+    mono = _encode_y4m(4, 2, [bytes(8)] * 3, cs="Cmono")
+    assert len(list(y4m_frames(mono))) == 3
+    full = _encode_y4m(2, 2, [bytes(4)] * 2, cs="C444")
+    assert len(list(y4m_frames(full))) == 2
+
+    with pytest.raises(ValueError):
+        list(y4m_frames(data[:-5]))  # truncated last frame
+    with pytest.raises(ValueError):
+        list(y4m_frames(b"RIFF....not y4m"))
+
+
+def test_y4m_through_frame_sample_kernel(spark):
+    """Real Y4M videos through the SAME mapInPandas kernel the
+    registered media_frame_sample query uses."""
+    from kg_covid_19_spark.operators.multimodal import (
+        FRAME_STEP,
+        media_frame_sample_frame,
+    )
+
+    vid_a = _encode_y4m(4, 4, [bytes(16)] * 9)    # frames 0,4,8 sampled
+    vid_b = _encode_y4m(8, 2, [bytes(16)] * 2)    # frame 0 only
+    frame = spark.createDataFrame(
+        [(1, bytearray(vid_a)), (2, bytearray(vid_b))],
+        "doc_id long, media binary",
+    )
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], r["frame_len"])
+        for r in media_frame_sample_frame(frame, "y4m-v1").collect()
+    )
+    assert FRAME_STEP == 4
+    assert rows == [(1, 0, 16), (1, 4, 16), (1, 8, 16), (2, 0, 16)]

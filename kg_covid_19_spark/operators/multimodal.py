@@ -566,6 +566,86 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     )
 
 
+# --- WAV audio (RIFF/WAVE, PCM) -------------------------------------------
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, "object"]:
+    """Pure-stdlib WAV decode → (n_channels, sample_rate, n_frames,
+    samples) with samples a numpy int32 array of shape
+    (n_frames, n_channels).
+
+    Real decoding: RIFF/WAVE chunk walk, fmt parse (PCM format 1 at
+    8/16/24/32-bit widths — 8-bit is unsigned per the spec, wider
+    widths signed little-endian), data chunk de-interleave. Compressed
+    formats (IEEE float, ADPCM, MP3-in-WAV) raise NotImplementedError
+    — that residue genuinely needs an audio codec library."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE byte stream")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            tag, n_ch, rate, _bps, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 1:
+                raise NotImplementedError(
+                    f"WAV format tag {tag} (non-PCM) needs an audio codec "
+                    "library"
+                )
+            if bits not in (8, 16, 24, 32):
+                raise ValueError(f"bad PCM bit width {bits}")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    width = bits // 8
+    n_frames = len(pcm) // (width * n_ch)
+    pcm = pcm[:n_frames * width * n_ch]
+    if bits == 8:  # unsigned → centered
+        samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.int32)
+    elif bits == 32:
+        samples = np.frombuffer(pcm, dtype="<i4").astype(np.int32)
+    else:  # 24-bit: sign-extend 3-byte little-endian
+        raw = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3)
+        samples = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        samples -= (samples >> 23) << 24  # two's-complement from bit 23
+    return n_ch, rate, n_frames, samples.reshape(n_frames, n_ch)
+
+
+def _wav_amp_hist_ppm(data: bytes) -> str:
+    """REAL audio features: 8-bin amplitude histogram (ppm) over the
+    decoded PCM samples, normalized by bit width — same output shape
+    as the image/fake feature paths (8 comma-joined integers)."""
+    import numpy as np
+
+    _n_ch, _rate, n_frames, samples = decode_wav(data)
+    if n_frames == 0:
+        return ",".join(["0"] * 8)
+    peak = int(np.abs(samples).max()) or 1
+    norm = np.minimum((np.abs(samples) * 8) // (peak + 1), 7)
+    bins = np.bincount(norm.ravel(), minlength=8)[:8]
+    n = samples.size
+    return ",".join(str(int(b) * 1_000_000 // n) for b in bins)
+
+
 def decode_media(data: bytes, decoder: str = "fake-v1") -> tuple[int, int]:
     """Decode media bytes → (width, height).
 
@@ -665,7 +745,11 @@ def media_features_frame(frame: DataFrame,
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder in _REAL_DECODERS:
+            if decoder == "wav-v1":
+                feats = pdf["media"].map(
+                    lambda b: _wav_amp_hist_ppm(bytes(b))
+                )
+            elif decoder in _REAL_DECODERS:
                 feats = pdf["media"].map(
                     lambda b: _png_luma_hist_ppm(bytes(b))
                 )
@@ -866,6 +950,61 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tested; the SAME kernel parses real YUV4MPEG2 video when
     decoder='y4m-v1' (media_frame_sample_frame — pinned by pytest)."""
     return media_frame_sample_frame(media_frame(spark, sf_dir))
+
+
+FAKE_AUDIO_RATE = 16000  # fake contract: bytes are 8-bit mono PCM @ 16 kHz
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+    ]
+)
+
+
+def media_audio_stats_frame(frame: DataFrame,
+                            decoder: str = "fake-v1") -> DataFrame:
+    """(doc_id, media) frame → per-clip audio stats.
+
+    'fake-v1' treats the bytes as 8-bit mono PCM at FAKE_AUDIO_RATE
+    (the oracle-paired contract — pure length arithmetic, so DuckDB
+    compares exactly); 'wav-v1' runs the REAL RIFF/WAVE parse and
+    reports the header's channel count / rate and the data chunk's
+    true frame count. Identical schema and Arrow batch shape."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(media)
+                if decoder == "wav-v1":
+                    n_ch, rate, n_frames, _samples = decode_wav(b)
+                else:
+                    n_ch, rate, n_frames = 1, FAKE_AUDIO_RATE, len(b)
+                rows.append(
+                    (doc_id, n_ch, rate, n_frames,
+                     n_frames * 1000 // rate)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_channels", "sample_rate",
+                         "n_samples", "duration_ms"],
+            ).astype({"n_channels": "int32", "sample_rate": "int32"})
+
+    return frame.mapInPandas(stats, AUDIO_SCHEMA)
+
+
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-stats kernel shape: opaque audio binary → typed clip
+    metadata (channels, rate, frame count, duration). The registered
+    path runs the deterministic fake contract; the SAME kernel parses
+    real RIFF/WAVE PCM when decoder='wav-v1' (media_audio_stats_frame
+    — pinned by a pytest that writes WAVs with the independent stdlib
+    ``wave`` module)."""
+    return media_audio_stats_frame(media_frame(spark, sf_dir))
 
 
 def _feat_sql() -> str:
@@ -1070,6 +1209,13 @@ FROM documents
 SELECT doc_id, 64 AS out_w, 64 AS out_h, 64 * 64 AS out_bytes
 FROM documents
 """,
+    "media_audio_stats": f"""
+SELECT doc_id, 1 AS n_channels, {FAKE_AUDIO_RATE} AS sample_rate,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       CAST(octet_length(encode(text)) AS BIGINT) * 1000
+         // {FAKE_AUDIO_RATE} AS duration_ms
+FROM documents
+""",
     "media_frame_sample": f"""
 WITH sized AS (
   SELECT doc_id, octet_length(encode(text)) AS n_bytes,
@@ -1094,6 +1240,7 @@ MULTIMODAL_QUERIES = {
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
+    "media_audio_stats": media_audio_stats,
     "media_dedup_exact": media_dedup_exact,
     "media_grid_neardup": media_grid_neardup,
 }

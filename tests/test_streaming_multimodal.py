@@ -731,3 +731,122 @@ def test_y4m_through_frame_sample_kernel(spark):
     )
     assert FRAME_STEP == 4
     assert rows == [(1, 0, 16), (1, 4, 16), (1, 8, 16), (2, 0, 16)]
+
+
+# --- WAV (RIFF/WAVE PCM) real audio -----------------------------------------
+#
+# The test-side encoder is the INDEPENDENT stdlib `wave` module, so the
+# pure-Python decoder is checked against CPython's own RIFF writer.
+
+
+def _encode_wav(n_ch, rate, sampwidth, frames_bytes):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(n_ch)
+        wv.setframerate(rate)
+        wv.setsampwidth(sampwidth)
+        wv.writeframes(frames_bytes)
+    return buf.getvalue()
+
+
+def test_wav_decode_widths_and_channels():
+    import struct
+
+    import numpy as np
+
+    from kg_covid_19_spark.operators.multimodal import decode_wav
+
+    # 16-bit stereo: L ramps, R constant
+    vals = [(i * 100, -5000) for i in range(50)]
+    pcm = b"".join(struct.pack("<hh", left, r) for left, r in vals)
+    n_ch, rate, n_frames, samples = decode_wav(_encode_wav(2, 44100, 2, pcm))
+    assert (n_ch, rate, n_frames) == (2, 44100, 50)
+    assert samples.shape == (50, 2)
+    assert list(samples[:, 0]) == [i * 100 for i in range(50)]
+    assert set(samples[:, 1]) == {-5000}
+
+    # 8-bit mono is unsigned, centered by the decoder
+    n_ch, rate, n_frames, samples = decode_wav(
+        _encode_wav(1, 8000, 1, bytes([128, 255, 0, 128]))
+    )
+    assert (n_ch, rate, n_frames) == (1, 8000, 4)
+    assert list(samples[:, 0]) == [0, 127, -128, 0]
+
+    # 24-bit mono: sign extension from bit 23
+    pcm = b"".join(
+        v.to_bytes(3, "little", signed=True) for v in (-1, 1, -8388608, 8388607)
+    )
+    _n, _r, nf, samples = decode_wav(_encode_wav(1, 48000, 3, pcm))
+    assert nf == 4
+    assert list(samples[:, 0]) == [-1, 1, -8388608, 8388607]
+    assert samples.dtype == np.int32
+
+
+def test_wav_non_pcm_stays_behind_seam():
+    import struct
+
+    from kg_covid_19_spark.operators.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    data = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(data)
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS....not a wav")
+
+
+def test_wav_through_audio_stats_and_features_kernels(spark):
+    """Real WAVs through the SAME mapInPandas kernels the registered
+    media_audio_stats / media_features queries use."""
+    import struct
+
+    from kg_covid_19_spark.operators.multimodal import (
+        media_audio_stats_frame,
+        media_features_frame,
+    )
+
+    # clip 1: 16-bit mono, 800 frames @ 16 kHz -> 50 ms, quiet (all ±10)
+    quiet = b"".join(
+        struct.pack("<h", 10 if i % 2 else -10) for i in range(800)
+    )
+    # clip 2: 8-bit stereo, 441 frames @ 44.1 kHz -> 10 ms, loud square
+    loud = bytes([255, 0] * 441)
+    frame = spark.createDataFrame(
+        [(1, bytearray(_encode_wav(1, 16000, 2, quiet))),
+         (2, bytearray(_encode_wav(2, 44100, 1, loud)))],
+        "doc_id long, media binary",
+    )
+    stats = {
+        r["doc_id"]: (r["n_channels"], r["sample_rate"], r["n_samples"],
+                      r["duration_ms"])
+        for r in media_audio_stats_frame(frame, "wav-v1").collect()
+    }
+    assert stats == {1: (1, 16000, 800, 50), 2: (2, 44100, 441, 10)}
+
+    feats = {
+        r["doc_id"]: r["f0"].split(",")
+        for r in media_features_frame(frame, "wav-v1").collect()
+    }
+    # every sample sits at full normalized amplitude -> top bin only
+    assert feats[1][7] == "1000000"
+    assert feats[2][7] == "1000000"
+
+
+def test_media_audio_stats_fake_matches_documents(spark):
+    """Registered fake path: 1-channel 16 kHz over the utf-8 byte count."""
+    from kg_covid_19_spark.operators.multimodal import media_audio_stats
+
+    from conftest import SF_DIR
+
+    rows = media_audio_stats(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:20]:
+        assert r["n_channels"] == 1 and r["sample_rate"] == 16000
+        assert r["duration_ms"] == r["n_samples"] * 1000 // 16000

@@ -1094,7 +1094,28 @@ def media_grid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     check stays value-hash exact."""
     f = media_features(spark, sf_dir)
     v = F.transform(F.split("f0", ","), lambda s: s.cast("long"))
-    g = f.select("doc_id", v.alias("v"))
+    return grid_neardup_frame(spark, f.select("doc_id", v.alias("v")))
+
+
+# Per-task join-production bound for the salted hot-cell split. A
+# concentrated feature space puts tens of thousands of docs in one grid
+# cell; the candidate join then produces |own|·|probe| rows for that ONE
+# key in ONE task (measured at the sf10 replica set: 2.06e11 productions
+# total, 1.36e10 on the hottest key — an hour-scale straggler). AQE's
+# skew-join split cannot catch this: it triggers on shuffle-partition
+# INPUT bytes, and a hot cell's inputs are small — the skew is join
+# AMPLIFICATION. So the split is explicit: cells whose own·probe product
+# exceeds the bound are salted into ceil(product/bound) sub-keys —
+# own rows hash-assigned one salt, probe rows replicated across all
+# salts of that cell — which caps any task's production count at
+# GRID_SALT_TARGET while producing the identical match multiset.
+GRID_SALT_TARGET = 200_000_000
+
+
+def grid_neardup_frame(spark: SparkSession, g: DataFrame) -> DataFrame:
+    """(doc_id, v: array<long>) frame → grid near-dup pairs (id_a,
+    id_b, l1_ppm). Frame-parametrized for the salting pytest."""
+    g = g.persist()  # 3 consumers: own, probe, and the cell-count probe
     own_parts = [
         g.select(
             F.col("doc_id").alias("id_a"), F.col("v").alias("va"),
@@ -1112,6 +1133,29 @@ def media_grid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bi, (lo, hi) in enumerate(_BANDS)
     ]
     probe = probe_parts[0].unionAll(probe_parts[1])
+    # hot-cell salt map: tiny (cells ≪ docs; map-side combine reduces
+    # both counts to cell cardinality before the shuffle), broadcast
+    own_n = own.groupBy("k").agg(F.count("*").alias("n_own"))
+    probe_n = probe.groupBy("k").agg(F.count("*").alias("n_probe"))
+    splits = (
+        own_n.join(probe_n, "k")
+        .select(
+            "k",
+            F.ceil(
+                F.col("n_own") * F.col("n_probe") / F.lit(GRID_SALT_TARGET)
+            ).cast("int").alias("s"),
+        )
+        .filter(F.col("s") > 1)
+    )
+    own_s = own.join(F.broadcast(splits), "k", "left").withColumn(
+        "salt", F.coalesce(F.pmod(F.hash("id_a"), F.col("s")), F.lit(0))
+    )
+    probe_s = probe.join(F.broadcast(splits), "k", "left").withColumn(
+        "salt",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("s"), F.lit(1)) - 1)
+        ),
+    )
     # explicit 8-term sum, NOT zip_with+aggregate: interpreted HOF
     # lambdas cost ~2µs/step and this runs on every candidate row
     # (measured 12.2s → codegen'd sum cuts the verify to JVM arithmetic)
@@ -1122,7 +1166,7 @@ def media_grid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        own.join(probe, "k")
+        own_s.join(probe_s, ["k", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("l1_ppm", l1)
         .filter(F.col("l1_ppm") <= L1_MAX_PPM)

@@ -850,3 +850,32 @@ def test_media_audio_stats_fake_matches_documents(spark):
     for r in rows[:20]:
         assert r["n_channels"] == 1 and r["sample_rate"] == 16000
         assert r["duration_ms"] == r["n_samples"] * 1000 // 16000
+
+
+def test_grid_neardup_salting_preserves_pairs(spark, monkeypatch):
+    """Hot-cell salting (join-amplification skew split) produces the
+    identical pair multiset: 60 docs packed into ONE grid cell with a
+    tiny forced GRID_SALT_TARGET so every hot-cell path engages, against
+    an independent brute-force L1 scan."""
+    import itertools
+
+    import kg_covid_19_spark.operators.multimodal as mm
+
+    rows = []
+    for i in range(60):          # one tight cluster: every pair qualifies
+        rows.append((i, [100000 + i * 10] * 8))
+    for i in range(60, 80):      # scattered: no pairs
+        rows.append((i, [1000000 + i * 50000 + d * 31000 for d in range(8)]))
+    g = spark.createDataFrame(rows, "doc_id long, v array<long>")
+
+    monkeypatch.setattr(mm, "GRID_SALT_TARGET", 500)
+    got = sorted(tuple(r) for r in mm.grid_neardup_frame(spark, g).collect())
+
+    data = dict(rows)
+    exp = sorted(
+        (a, b, sum(abs(x - y) for x, y in zip(data[a], data[b])))
+        for a, b in itertools.combinations(range(80), 2)
+        if sum(abs(x - y) for x, y in zip(data[a], data[b])) <= mm.L1_MAX_PPM
+    )
+    assert len(exp) == 60 * 59 // 2
+    assert got == exp

@@ -403,8 +403,12 @@ def test_gif_decode_roundtrip_and_interlace():
 
     with pytest.raises(ValueError):
         decode_gif(b"NOTAGIF")
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now dispatches to the real baseline decoder, so a
+    # truncated fake is a parse error, not an unsupported format
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"BM fake bmp stays behind the seam")
 
 
 def test_gif_through_features_and_resize(spark):

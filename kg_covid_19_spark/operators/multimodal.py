@@ -1133,10 +1133,48 @@ def grid_neardup_frame(spark: SparkSession, g: DataFrame) -> DataFrame:
         for bi, (lo, hi) in enumerate(_BANDS)
     ]
     probe = probe_parts[0].unionAll(probe_parts[1])
-    # hot-cell salt map: tiny (cells ≪ docs; map-side combine reduces
-    # both counts to cell cardinality before the shuffle), broadcast
-    own_n = own.groupBy("k").agg(F.count("*").alias("n_own"))
-    probe_n = probe.groupBy("k").agg(F.count("*").alias("n_probe"))
+    # hot-cell salt map from ONE occupancy aggregation (map-side combine
+    # reduces the doc stream to cell cardinality before the shuffle):
+    # own-side count per key IS the cell occupancy, and the probe-side
+    # count per key is the ±1 neighborhood sum — computed on the tiny
+    # cell table via the 81-offset cross join, never on the 81×N probe
+    # stream itself
+    occ_parts = [
+        g.select(
+            F.lit(bi).alias("band"),
+            *[
+                F.expr(f"element_at(v, {i + 1}) div {GRID_Q}")
+                .alias(f"i{j + 1}")
+                for j, i in enumerate(range(lo, hi))
+            ],
+        )
+        for bi, (lo, hi) in enumerate(_BANDS)
+    ]
+    occ = (
+        occ_parts[0].unionAll(occ_parts[1])
+        .groupBy("band", "i1", "i2", "i3", "i4")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+
+    def _occ_key(shift: bool) -> F.Column:
+        parts = [F.col("band").cast("string"), F.lit("|")]
+        for j in range(4):
+            if j:
+                parts.append(F.lit("_"))
+            idx = F.col(f"i{j + 1}")
+            if shift:
+                idx = idx + F.col(f"o{j + 1}")
+            parts.append(idx.cast("string"))
+        return F.concat(*parts)
+
+    own_n = occ.select(_occ_key(False).alias("k"), F.col("n").alias("n_own"))
+    probe_n = (
+        occ.crossJoin(offs)
+        .select(_occ_key(True).alias("k"), "n")
+        .groupBy("k")
+        .agg(F.sum("n").alias("n_probe"))
+    )
     splits = (
         own_n.join(probe_n, "k")
         .select(

@@ -1,8 +1,9 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
 The container has no decode libraries (PIL/ffmpeg). Three REAL codecs
-ship anyway — PNG (full IDAT inflate + filter reversal + PLTE
-palettes), GIF (LZW + interlace + color tables) and baseline JPEG
+ship anyway — PNG (every profile the spec defines: all five color
+types at all legal depths, PLTE palettes, Adam7 interlace), GIF (LZW
++ interlace + color tables) and baseline JPEG
 (canonical Huffman + dequant/dezigzag + IDCT + chroma upsample +
 YCbCr→RGB), dispatched by magic bytes via ``decode_image`` — while
 compressed video stays behind a documented NotImplementedError seam
@@ -49,59 +50,31 @@ MEDIA_META_SCHEMA = StructType(
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray / RGB / palette-idx / RGBA
+# color type -> channels: gray / RGB / palette-idx / gray+alpha / RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# every (color, depth) combination the PNG spec defines is supported
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec ordering
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Pure-stdlib PNG decode → (width, height, channels, raw pixels).
-
-    Real decoding, no codec libraries: chunk walk, IHDR parse, IDAT
-    concat + zlib inflate, per-scanline reversal of the five PNG
-    filters (None/Sub/Up/Average/Paeth), and PLTE palette expansion.
-    Supports the non-interlaced 8-bit gray/RGB/RGBA profiles plus
-    palette images at depths 1/2/4/8 (the most common web-PNG profile
-    — indices unpacked big-endian from row-padded scanlines, expanded
-    to RGB through the PLTE table); 16-bit and Adam7 images raise
-    NotImplementedError — that residue (like OCR-only PDFs in
-    sources/zhou.py) genuinely needs a full codec library."""
-    import struct
-    import zlib
-
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG byte stream")
-    pos, width = 8, None
-    idat = bytearray()
-    plte = None
-    while pos + 8 <= len(data):
-        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
-            data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + body + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", body)
-            depth_ok = depth in (1, 2, 4, 8) if color == 3 else depth == 8
-            if not depth_ok or color not in _PNG_CHANNELS or interlace:
-                raise NotImplementedError(
-                    f"PNG profile (depth={depth}, color={color}, "
-                    f"interlace={interlace}) needs a full codec library"
-                )
-            ch = _PNG_CHANNELS[color]
-        elif ctype == b"PLTE":
-            plte = bytes(body)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
+                  depth: int, ch: int) -> tuple[bytes, int]:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/
+    Paeth) for one (sub-)image whose filtered rows start at
+    ``raw[pos]``; returns (unfiltered rows, next stream position).
+    Taking a stream position makes the same routine serve both the
+    single whole-image pass and the seven Adam7 sub-images, which are
+    filtered independently but share one zlib stream."""
     bpp = max(1, (depth * ch) // 8)  # filter distance, bytes
     stride = (width * depth * ch + 7) // 8  # row bytes (bit-packed rows pad)
     out = bytearray(height * stride)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
         prev = out[(y - 1) * stride:y * stride] if y else bytes(stride)
         if ftype == 1:  # Sub
             for i in range(bpp, stride):
@@ -127,26 +100,114 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y * stride:(y + 1) * stride] = line
+    return bytes(out), pos
+
+
+def _png_unpack_row(row: bytes, width: int, depth: int, ch: int) -> list:
+    """One unfiltered row -> per-sample ints at native depth. Depths
+    below 8 are bit-packed most-significant-first; 16-bit samples are
+    big-endian and stay 16-bit here (normalized by the caller)."""
+    n = width * ch
+    if depth == 8:
+        return list(row[:n])
+    if depth == 16:
+        return [(row[2 * i] << 8) | row[2 * i + 1] for i in range(n)]
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    return [(row[x // per] >> (8 - depth * (x % per + 1))) & mask
+            for x in range(n)]
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode -> (width, height, channels, raw pixels).
+
+    Real decoding, no codec libraries: chunk walk, IHDR parse, IDAT
+    concat + zlib inflate, per-scanline reversal of the five PNG
+    filters, PLTE palette expansion, Adam7 de-interlacing, and sample
+    normalization. Every profile the PNG spec defines is handled:
+    gray at depths 1/2/4/8/16 (low depths scaled to the full 8-bit
+    range, 16-bit truncated to the most-significant byte), RGB /
+    gray+alpha / RGBA at 8/16, palette at 1/2/4/8, each with or
+    without Adam7 interlace. Output is always 8-bit samples."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG byte stream")
+    pos, width = 8, None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if (color not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[color]
+                    or interlace not in (0, 1)):
+                raise ValueError(
+                    f"malformed PNG header (depth={depth}, color={color}, "
+                    f"interlace={interlace}) — not a spec profile"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            plte = bytes(body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0 and depth == 8 and color != 3:
+        # fast path (the dominant web profile): one byte per sample,
+        # unfiltered rows ARE the output — no per-sample unpacking
+        out, _ = _png_unfilter(raw, 0, width, height, depth, ch)
+        return width, height, ch, out
+    samples = [0] * (width * height * ch)
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, width, height, depth, ch)
+        stride = (width * depth * ch + 7) // 8
+        for y in range(height):
+            samples[y * width * ch:(y + 1) * width * ch] = _png_unpack_row(
+                rows[y * stride:(y + 1) * stride], width, depth, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images in one zlib
+        # stream, scattered back onto the full-size sample grid
+        spos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, spos = _png_unfilter(raw, spos, pw, ph, depth, ch)
+            stride = (pw * depth * ch + 7) // 8
+            for j in range(ph):
+                vals = _png_unpack_row(
+                    rows[j * stride:(j + 1) * stride], pw, depth, ch)
+                base = ((y0 + j * dy) * width + x0) * ch
+                for i in range(pw):
+                    o = base + i * dx * ch
+                    samples[o:o + ch] = vals[i * ch:(i + 1) * ch]
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
         rgb = bytearray(width * height * 3)
-        per_byte = 8 // depth
-        mask = (1 << depth) - 1
-        for y in range(height):
-            row = out[y * stride:(y + 1) * stride]
-            for x in range(width):
-                if depth == 8:
-                    k = row[x]
-                else:
-                    k = (row[x // per_byte]
-                         >> (8 - depth * (x % per_byte + 1))) & mask
-                if 3 * k + 3 > len(plte):
-                    raise ValueError(f"palette index {k} out of range")
-                o = (y * width + x) * 3
-                rgb[o:o + 3] = plte[3 * k:3 * k + 3]
+        for o, k in enumerate(samples):
+            if 3 * k + 3 > len(plte):
+                raise ValueError(f"palette index {k} out of range")
+            rgb[3 * o:3 * o + 3] = plte[3 * k:3 * k + 3]
         return width, height, 3, bytes(rgb)
-    return width, height, ch, bytes(out)
+    if depth == 16:
+        # most-significant byte == the spec's 16->8 sample reduction
+        return width, height, ch, bytes(v >> 8 for v in samples)
+    if depth < 8:
+        # scale low-depth gray onto the full 8-bit range (0..mask -> 0..255)
+        mask = (1 << depth) - 1
+        return width, height, ch, bytes(v * 255 // mask for v in samples)
+    return width, height, ch, bytes(samples)
 
 
 _GIF_SIGS = (b"GIF87a", b"GIF89a")

@@ -167,31 +167,101 @@ def test_png_decode_reverses_all_filter_types():
     assert decode_png(png) == (6, 3, 1, gray)
 
 
-def test_png_unsupported_profiles_stay_behind_seam():
-    """16-bit / interlaced PNGs still raise — the genuine
-    codec-library seam, now narrowed to only those profiles (palette
-    moved to the supported set in r6)."""
+def _png_chunk(ctype, body):
     import struct
     import zlib
 
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png_raw(width, height, depth, color, interlace, raw):
+    """Wrap pre-filtered scanline bytes in signature/IHDR/IDAT/IEND."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0,
+                       interlace)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_16bit_and_gray_alpha_and_low_depth_decode():
+    """The formerly-seamed profiles now decode: 16-bit samples reduce
+    to their most-significant byte, gray+alpha keeps 2 channels, and
+    depth-2 gray scales 0..3 onto the full 0..255 range."""
     from kg_covid_19_spark.operators.multimodal import decode_png
 
-    def chunk(ctype, body):
-        return (
-            struct.pack(">I", len(body)) + ctype + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-        )
+    # 16-bit gray, 2x2, filter 0: big-endian sample pairs
+    raw = bytes([0, 0x12, 0x34, 0xAB, 0xCD, 0, 0x00, 0xFF, 0xFF, 0x00])
+    png = _encode_png_raw(2, 2, 16, 0, 0, raw)
+    assert decode_png(png) == (2, 2, 1, bytes([0x12, 0xAB, 0x00, 0xFF]))
 
-    deep = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)))
-    with pytest.raises(NotImplementedError):
-        decode_png(deep)
-    adam7 = (b"\x89PNG\r\n\x1a\n"
-             + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)))
-    with pytest.raises(NotImplementedError):
-        decode_png(adam7)
+    # 8-bit gray+alpha, 2x1 (color type 4, 2 channels)
+    raw = bytes([0, 10, 200, 30, 255])
+    png = _encode_png_raw(2, 1, 8, 4, 0, raw)
+    assert decode_png(png) == (2, 1, 2, bytes([10, 200, 30, 255]))
+
+    # 16-bit RGB with a Sub filter at bpp=6 (exercises wide-bpp filter)
+    pix = bytes(range(12))  # two pixels, first row
+    filt = bytearray([1]) + bytearray(pix)
+    for i in range(len(pix) - 1, 5, -1):
+        filt[1 + i] = (pix[i] - pix[i - 6]) & 0xFF
+    png = _encode_png_raw(2, 1, 16, 2, 0, bytes(filt))
+    assert decode_png(png) == (2, 1, 3, bytes([0, 2, 4, 6, 8, 10]))
+
+    # depth-2 gray, 5x1 (row pads to 2 bytes): values 0..3 -> 0..255
+    packed = bytes([0, (0 << 6) | (1 << 4) | (2 << 2) | 3, 2 << 6])
+    png = _encode_png_raw(5, 1, 2, 0, 0, packed)
+    assert decode_png(png) == (5, 1, 1, bytes([0, 85, 170, 255]) + b"\xaa")
+
     with pytest.raises(ValueError):
         decode_png(b"NOTAPNG")
+    # spec-invalid combination is malformed, not a seam
+    bad = _encode_png_raw(2, 2, 16, 3, 0, b"\x00\x00")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+_ADAM7_TEST = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _encode_adam7_png(width, height, pixels, ch, color):
+    """Independent test-side Adam7 encoder: split the 8-bit image into
+    the seven PNG passes, emit each pass's rows with filter 0 into one
+    zlib stream."""
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_TEST:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            raw.append(0)
+            y = y0 + j * dy
+            for i in range(pw):
+                o = (y * width + x0 + i * dx) * ch
+                raw.extend(pixels[o:o + ch])
+    return _encode_png_raw(width, height, 8, color, 1, bytes(raw))
+
+
+def test_png_adam7_interlace_round_trips():
+    """Adam7 de-interlacing reassembles the original image exactly,
+    including odd dimensions where several passes are empty."""
+    from kg_covid_19_spark.operators.multimodal import decode_png
+
+    for w, h in ((4, 4), (5, 3), (9, 10), (1, 1), (2, 7)):
+        rgb = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+        png = _encode_adam7_png(w, h, rgb, 3, color=2)
+        assert decode_png(png) == (w, h, 3, rgb)
+
+    gray = bytes((x * 53 + 7) % 256 for x in range(6 * 5))
+    png = _encode_adam7_png(6, 5, gray, 1, color=0)
+    assert decode_png(png) == (6, 5, 1, gray)
 
 
 def _encode_palette_png(width, height, indices, plte, depth):

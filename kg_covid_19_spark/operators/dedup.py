@@ -702,6 +702,190 @@ def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_ngram_pos_udf(n: int):
+    """Positional twin of ``make_ngram_udf``: emits every n-gram WITH
+    its 1-based start token index, as array<struct<pos,ng>> — the
+    input to span-level dedup, where WHERE a duplicate occurs matters
+    as much as THAT it occurs. Same Arrow-kernel rationale and the
+    same null/short-text semantics as the non-positional kernel."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<pos:bigint,ng:string>>")
+    def ngram_pos(texts):  # pd.Series -> pd.Series (PEP-563-safe)
+        out = []
+        for t in texts:
+            toks = t.split(" ") if t else []
+            if len(toks) < n:
+                out.append([])
+            else:
+                out.append(
+                    [{"pos": i + 1, "ng": " ".join(toks[i:i + n])}
+                     for i in range(len(toks) - n + 1)]
+                )
+        return pd.Series(out)
+
+    return ngram_pos
+
+
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup: merge the positions of cross-document
+    duplicated {DECON_N}-grams into MAXIMAL duplicated spans per
+    document — the span-REMOVAL step of substring-level training-data
+    dedup (doc_dup_ngrams says which substrings repeat; this says
+    which token ranges of each document to cut). Two duplicated
+    n-grams at positions p < q merge when q - p <= {DECON_N} (their
+    token windows overlap or touch), so a repeated paragraph surfaces
+    as ONE (span_start, span_end) row, 1-based inclusive token
+    indices, with the merged n-gram count alongside.
+
+    Scale shape: the duplicated-ngram set is found with the same
+    corpus-keyed groupBy as doc_dup_ngrams (inherent to the exact
+    contract; the bounded Misra-Gries twin's candidate set can replace
+    it one decade past that), then positions re-join that set on the
+    ngram key — a deliberately join-shaped second exchange rather than
+    collect_list(position) inside the groupBy, because a hot
+    boilerplate n-gram would make that list a single-task straggler
+    while the join form skew-splits under AQE. The island merge is one
+    window over doc_id: lag + running sum, no per-doc arrays."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.select(
+        "doc_id",
+        F.explode(make_ngram_pos_udf(DECON_N)(F.col("text"))).alias("p"),
+    ).select("doc_id", F.col("p.pos").alias("pos"), F.col("p.ng").alias("ng"))
+    dup = (
+        pos.groupBy("ng")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ng")
+    )
+    hits = pos.join(dup, "ng").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos", 1).over(w) > DECON_N, 1)
+        .otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(DECON_N - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_ngrams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_ngrams")
+    )
+
+
+def doc_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-REMOVAL: rebuild each document with its duplicated spans
+    (doc_dup_spans) cut out — the output a substring-dedup cleaning
+    pipeline actually writes. Emits (doc_id, n_tokens_kept,
+    clean_text) for every document that keeps at least one token;
+    fully-duplicated documents disappear (whole-doc dedup's job).
+
+    Scale shape: the tempting plan — posexplode every token, range-
+    anti-join against spans, re-assemble with collect_list — shuffles
+    the entire corpus BY TOKEN twice (once for the join, once for the
+    rebuild). Instead the spans aggregate to one array per doc
+    (bounded: dup spans only), join onto the documents on doc_id, and
+    a row-local Arrow kernel cuts the ranges out of each text in
+    place — the corpus is read once and never exchanged; only the
+    span table moves."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    span_lists = (
+        doc_dup_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end")
+            ).alias("spans")
+        )
+    )
+
+    @pandas_udf("struct<n_tokens_kept:bigint,clean_text:string>")
+    def strip(texts, spans):  # pd.Series x2 -> pd.DataFrame
+        ns, outs = [], []
+        for t, sp in zip(texts, spans):
+            if t is None:
+                ns.append(0)
+                outs.append(None)
+                continue
+            toks = t.split(" ")
+            # missed-join null arrays can surface as None or NaN
+            if sp is not None and not (
+                isinstance(sp, float) and pd.isna(sp)
+            ) and len(sp):
+                cut = set()
+                for s in sp:
+                    cut.update(range(int(s["span_start"]),
+                                     int(s["span_end"]) + 1))
+                kept = [tok for i, tok in enumerate(toks, start=1)
+                        if i not in cut]
+            else:
+                kept = toks
+            ns.append(len(kept))
+            outs.append(" ".join(kept))
+        return pd.DataFrame({"n_tokens_kept": ns, "clean_text": outs})
+
+    out = (
+        docs.join(span_lists, "doc_id", "left")
+        .select("doc_id", strip("text", "spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n_tokens_kept").alias("n_tokens_kept"),
+            F.col("s.clean_text").alias("clean_text"),
+        )
+    )
+    return out.filter(F.col("n_tokens_kept") > 0)
+
+
+def doc_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile: token count, tokens covered
+    by cross-document duplicated spans, span count, and the duplicated
+    fraction in integer ppm — the number quality pipelines threshold
+    on ("drop documents more than X% duplicated"). Every document
+    appears, zero-filled when nothing repeats.
+
+    Scale shape: spans (already bounded) aggregate to one row per
+    affected doc; the corpus contributes only size(split(text)) — a
+    narrow map — and one doc_id join against the small span-stats
+    side. Spans are disjoint by construction (doc_dup_spans merges
+    anything within reach), so summing their widths is exact."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = (
+        doc_dup_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("n_dup_tokens"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.expr(
+                "coalesce(n_dup_tokens, 0L) * 1000000L div n_tokens"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
 # Per-partition counter budget. Counters cost ~100 B each in pandas
 # Series form, so 1M counters ≈ 100 MB of partition state — O(capacity),
 # bounded, and sized so the classic completeness precondition
@@ -866,6 +1050,42 @@ inter AS (
 )"""
 
 
+# Shared CTE chain for the span family: positions of every DECON_N-gram,
+# the cross-document duplicated set, the hit positions, and the
+# gaps-and-islands grouping. doc_dup_spans selects the merged spans;
+# doc_dup_span_strip goes one step further and rebuilds the cleaned text.
+_DUP_SPANS_CTE_SQL = f"""p AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(string_split(text, ' ')) >= {DECON_N} THEN
+      list_transform(
+        generate_series(1, len(string_split(text, ' ')) - {DECON_N - 1}),
+        i -> {{'pos': i, 'ng': array_to_string(
+          list_slice(string_split(text, ' '), i, i + {DECON_N - 1}), ' ')}})
+    ELSE [] END) AS u
+  FROM documents
+),
+pos AS (SELECT doc_id, u.pos AS pos, u.ng AS ng FROM p),
+dup AS (SELECT ng FROM pos GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (ng)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         > {DECON_N} THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) + {DECON_N - 1} AS span_end,
+         count(*) AS n_dup_ngrams
+  FROM grp GROUP BY doc_id, island
+)"""
+
+
 DEDUP_ORACLES = {
     "doc_decontaminate": f"""
 WITH sh AS (
@@ -954,6 +1174,47 @@ SELECT md5(ng) AS ngram_hash, count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_occurrences
 FROM sh GROUP BY ng HAVING count(DISTINCT doc_id) >= 2
 """,
+    "doc_dup_spans": f"""
+WITH {_DUP_SPANS_CTE_SQL}
+SELECT doc_id, span_start, span_end, n_dup_ngrams FROM spans
+""",
+    "doc_dup_profile": f"""
+WITH {_DUP_SPANS_CTE_SQL},
+stats AS (
+  SELECT doc_id, sum(span_end - span_start + 1) AS n_dup_tokens,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       coalesce(s.n_dup_tokens, 0) AS n_dup_tokens,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(s.n_dup_tokens, 0) * 1000000
+         // len(string_split(d.text, ' ')) AS dup_ppm
+FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+""",
+    "doc_dup_span_strip": f"""
+WITH {_DUP_SPANS_CTE_SQL},
+toks AS (
+  SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(string_split(text, ' ')) + 1),
+      i -> {{'tpos': i, 'tok': string_split(text, ' ')[i]}})) AS u
+    FROM documents
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id
+      AND t.tpos BETWEEN s.span_start AND s.span_end
+  )
+)
+SELECT doc_id, count(*) AS n_tokens_kept,
+       string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+FROM kept GROUP BY doc_id
+""",
 }
 
 DEDUP_QUERIES = {
@@ -964,6 +1225,9 @@ DEDUP_QUERIES = {
     "doc_simhash_clusters": simhash_clusters,
     "doc_simhash_neardup": simhash_neardup_pairs,
     "doc_dup_ngrams": doc_dup_ngrams,
+    "doc_dup_spans": doc_dup_spans,
+    "doc_dup_span_strip": doc_dup_span_strip,
+    "doc_dup_profile": doc_dup_profile,
     "doc_dup_ngrams_approx": doc_dup_ngrams_approx,
     "doc_decontaminate": doc_decontaminate,
     "doc_minhash_jaccard_est": minhash_jaccard_estimate,

@@ -368,3 +368,121 @@ def test_bucket_pairs_kernel_blocking_is_exact():
         S.GEMM_BLOCK_ELEMS = orig
     got = set(zip(out["id_a"], out["id_b"]))
     assert got == want and len(want) > 0
+
+
+def test_dup_spans_merge_overlap_and_adjacency(spark, tmp_path):
+    """Planted micro-corpus where every duplicated span is known by
+    hand: overlapping dup n-grams merge into one span, hits exactly
+    DECON_N apart (token windows touching) merge, hits further apart
+    split, and a doc with no cross-doc n-gram emits nothing."""
+    from kg_covid_19_spark.operators.dedup import DECON_N, doc_dup_spans
+
+    assert DECON_N == 4  # the hand-computed expectations below pin n=4
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e y z w q"),
+        (3, "p1 p2 p3 p4 p5 p6 p7 p8"),
+        (4, "a b c d k1 k2 k3 k4 k5 a b c d"),
+        (8, "s1 s2 s3 s4 t1 t2 t3 t4 u1"),
+        (9, "s1 s2 s3 s4 z t1 t2 t3 t4"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_ngrams)
+        for r in doc_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 1, 5, 2),   # "a b c d"+"b c d e" overlap -> one span
+        (2, 2, 6, 2),
+        (4, 1, 4, 1),   # repeat 9 tokens later: gap > n -> two spans
+        (4, 10, 13, 1),
+        (8, 1, 8, 2),   # hits 4 apart: windows touch -> merged
+        (9, 1, 4, 1),   # hits 5 apart: split
+        (9, 6, 9, 1),
+    }
+
+
+def test_dup_spans_wellformed_and_maximal(spark):
+    """On the sf corpus: every span is at least one n-gram wide,
+    1-based within plausible bounds, and spans within a doc are
+    MAXIMAL — consecutive spans are separated by >= 2 uncovered
+    tokens (a 1-token gap is impossible: hits that close would have
+    merged)."""
+    from kg_covid_19_spark.operators.dedup import DECON_N, doc_dup_spans
+
+    rows = doc_dup_spans(spark, SF_DIR).collect()
+    assert rows  # planted exact copies guarantee duplicated spans
+    by_doc: dict = {}
+    for r in rows:
+        assert r.span_start >= 1
+        assert r.span_end - r.span_start + 1 >= DECON_N
+        assert r.n_dup_ngrams >= 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 >= e1 + 2, (s1, e1, s2, e2)
+
+
+def test_dup_span_strip_rebuilds_clean_text(spark, tmp_path):
+    """Hand-computed strip corpus: partial spans cut mid-document,
+    span-free docs pass through verbatim, and a document whose every
+    token is covered (a full near-copy) disappears from the output."""
+    from kg_covid_19_spark.operators.dedup import doc_dup_span_strip
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e y z w q"),
+        (3, "p1 p2 p3 p4 p5 p6 p7 p8"),
+        (4, "a b c d k1 k2 k3 k4 k5 a b c d"),
+        (8, "s1 s2 s3 s4 t1 t2 t3 t4 u1"),
+        (10, "s1 s2 s3 s4 t1 t2 t3 t4"),  # fully covered by doc 8
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.n_tokens_kept, r.clean_text)
+        for r in doc_dup_span_strip(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, "f g h"),
+        2: (5, "x y z w q"),
+        3: (8, "p1 p2 p3 p4 p5 p6 p7 p8"),
+        4: (5, "k1 k2 k3 k4 k5"),
+        8: (1, "u1"),
+        # doc 10 absent: every token duplicated -> whole-doc dedup's job
+    }
+
+
+def test_dup_profile_counts_and_ppm(spark, tmp_path):
+    """doc_dup_profile over the hand-computed span corpus: every doc
+    appears (zero-filled when clean), duplicated-token counts are the
+    sum of disjoint span widths, ppm is integer-exact."""
+    from kg_covid_19_spark.operators.dedup import doc_dup_profile
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e y z w q"),
+        (3, "p1 p2 p3 p4 p5 p6 p7 p8"),
+        (4, "a b c d k1 k2 k3 k4 k5 a b c d"),
+        (8, "s1 s2 s3 s4 t1 t2 t3 t4 u1"),
+        (9, "s1 s2 s3 s4 z t1 t2 t3 t4"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans, r.dup_ppm)
+        for r in doc_dup_profile(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (8, 5, 1, 625_000),
+        2: (10, 5, 1, 500_000),
+        3: (8, 0, 0, 0),
+        4: (13, 8, 2, 615_384),
+        8: (9, 8, 1, 888_888),
+        9: (9, 8, 2, 888_888),
+    }

@@ -97,6 +97,11 @@ def _late_bench():
     return {
         "kg_components_fixpoint": KG_QUERIES["kg_components_fixpoint"],
         "media_grid_neardup": MULTIMODAL_QUERIES["media_grid_neardup"],
+        # r6 span-level dedup family — the corpus-keyed shuffle lives in
+        # doc_dup_spans; strip/profile ride its output
+        "doc_dup_spans": DEDUP_QUERIES["doc_dup_spans"],
+        "doc_dup_span_strip": DEDUP_QUERIES["doc_dup_span_strip"],
+        "doc_dup_profile": DEDUP_QUERIES["doc_dup_profile"],
     }
 
 

@@ -790,12 +790,18 @@ def doc_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join against spans, re-assemble with collect_list — shuffles
     the entire corpus BY TOKEN twice (once for the join, once for the
     rebuild). Instead the spans aggregate to one array per doc
-    (bounded: dup spans only), join onto the documents on doc_id, and
-    a row-local Arrow kernel cuts the ranges out of each text in
-    place — the corpus is read once and never exchanged; only the
-    span table moves."""
+    (bounded: dup-affected docs only, so Catalyst broadcasts it at
+    estimator-visible sizes — executed plan shows the corpus scan
+    feeding the kernel with ZERO exchange; past the broadcast
+    threshold it degrades to ONE doc_id exchange, still never
+    by-token), and a row-local Arrow kernel cuts the ranges out of
+    each text in place. The kernel runs via mapInPandas, not a
+    pandas_udf column: it both computes and FILTERS (fully-covered
+    docs drop in-batch), and a deterministic pandas_udf referenced by
+    a filter AND a projection gets duplicated by CollapseProject into
+    two ArrowEvalPython nodes — observed on the first cut of this
+    plan — running the kernel twice per row."""
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     span_lists = (
@@ -808,41 +814,39 @@ def doc_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    @pandas_udf("struct<n_tokens_kept:bigint,clean_text:string>")
-    def strip(texts, spans):  # pd.Series x2 -> pd.DataFrame
-        ns, outs = [], []
-        for t, sp in zip(texts, spans):
-            if t is None:
-                ns.append(0)
-                outs.append(None)
-                continue
-            toks = t.split(" ")
-            # missed-join null arrays can surface as None or NaN
-            if sp is not None and not (
-                isinstance(sp, float) and pd.isna(sp)
-            ) and len(sp):
-                cut = set()
-                for s in sp:
-                    cut.update(range(int(s["span_start"]),
-                                     int(s["span_end"]) + 1))
-                kept = [tok for i, tok in enumerate(toks, start=1)
-                        if i not in cut]
-            else:
-                kept = toks
-            ns.append(len(kept))
-            outs.append(" ".join(kept))
-        return pd.DataFrame({"n_tokens_kept": ns, "clean_text": outs})
+    def strip_batches(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            ids, ns, outs = [], [], []
+            for did, t, sp in zip(pdf["doc_id"], pdf["text"],
+                                  pdf["spans"]):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                # missed-join null arrays can surface as None or NaN
+                if sp is not None and not (
+                    isinstance(sp, float) and pd.isna(sp)
+                ) and len(sp):
+                    cut = set()
+                    for s in sp:
+                        cut.update(range(int(s["span_start"]),
+                                         int(s["span_end"]) + 1))
+                    kept = [tok for i, tok in enumerate(toks, start=1)
+                            if i not in cut]
+                else:
+                    kept = toks
+                if not kept:
+                    continue
+                ids.append(did)
+                ns.append(len(kept))
+                outs.append(" ".join(kept))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tokens_kept": ns, "clean_text": outs}
+            )
 
-    out = (
-        docs.join(span_lists, "doc_id", "left")
-        .select("doc_id", strip("text", "spans").alias("s"))
-        .select(
-            "doc_id",
-            F.col("s.n_tokens_kept").alias("n_tokens_kept"),
-            F.col("s.clean_text").alias("clean_text"),
-        )
+    return docs.join(span_lists, "doc_id", "left").mapInPandas(
+        strip_batches,
+        "doc_id long, n_tokens_kept long, clean_text string",
     )
-    return out.filter(F.col("n_tokens_kept") > 0)
 
 
 def doc_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -387,3 +387,22 @@ def test_dup_ngrams_broadcast_is_pruned_with_shuffle_fallback(spark):
     want_hash = hashlib.md5(b"hot shingle 000").hexdigest()
     assert got[want_hash] == (3, 8)  # docs {0,10,20}, i ∈ {0,40,…,280}
     assert len(got) == 40
+
+
+def test_span_strip_kernel_runs_once_corpus_unexchanged(spark):
+    """doc_dup_span_strip: the strip kernel is ONE MapInPandas node
+    (the first cut used a deterministic pandas_udf referenced by both
+    a filter and a projection — CollapseProject duplicated it into two
+    ArrowEvalPython evaluations per row), and the span side reaches
+    the corpus via BroadcastHashJoin, so the documents scan feeds the
+    kernel without an exchange."""
+    from kg_covid_19_spark.operators.dedup import doc_dup_span_strip
+
+    plan = _executed_plan(doc_dup_span_strip(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan
+    head = plan.split("MapInPandas", 1)[0]
+    assert "ArrowEvalPython" not in head
+    join_line = next(
+        l for l in plan.splitlines() if "LeftOuter" in l
+    )
+    assert "BroadcastHashJoin" in join_line, join_line

@@ -82,6 +82,11 @@ def main() -> int:
     assert n >= 0
 
     con = duckdb.connect()
+    # in-memory DuckDB has no spill location by default, so decade-up
+    # oracle runs (sf10 span/containment families) die on OOM instead
+    # of going out-of-core; a temp directory restores grace
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='120GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "

@@ -68,6 +68,11 @@ def main() -> None:
 
         return media_grid_neardup(s, SF)
 
+    def _strip(s):
+        from kg_covid_19_spark.operators.dedup import doc_dup_span_strip
+
+        return doc_dup_span_strip(s, SF)
+
     def _aa(s):
         from kg_covid_19_spark.plans.queries import kg_adamic_adar
 
@@ -175,6 +180,15 @@ def main() -> None:
             "its covering cumulative range (r5 — replaces the "
             "per-stratum array).",
             _deciles(spark),
+        ),
+        (
+            "Span-removal rebuild (doc_dup_span_strip)",
+            "ONE MapInPandas kernel (a deterministic pandas_udf here "
+            "got duplicated by CollapseProject into two ArrowEvalPython "
+            "evaluations); spans aggregate per doc and BROADCAST onto "
+            "the corpus scan — the documents read feeds the kernel "
+            "with zero exchange, and the rebuild never explodes tokens.",
+            _strip(spark),
         ),
         (
             "Adamic-Adar with a shared log table (kg_adamic_adar)",

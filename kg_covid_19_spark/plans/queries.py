@@ -1232,6 +1232,90 @@ def _bfs_sql() -> str:
     return ",\n".join(parts) + f"\nSELECT id, dist FROM d{BFS_ROUNDS}"
 
 
+def kg_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper — see _weighted_distances_build."""
+    key = (*table_source_key(spark, sf_dir), "weighted_distances")
+    if key not in _ITER_CACHE:
+        _ITER_CACHE[key] = _weighted_distances_build(spark, sf_dir)
+    return _ITER_CACHE[key]
+
+
+def _weighted_distances_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths from the hub — the min-plus
+    twin of kg_hub_distances. Edge cost is 1_000_000 div n_docs over
+    the co-occurrence support counts (strong associations are cheap to
+    traverse), all-integer so nothing float can diverge between
+    engines; the contract is "minimum total cost using at most
+    BFS_ROUNDS hops", which the unrolled-CTE oracle states exactly.
+
+    Scale shape: identical to the BFS — each round is one join on the
+    frontier key plus one min groupBy, per-round persist/unpersist so
+    lineage stays flat; the weight column rides the same exchange the
+    unweighted edge join already pays (no extra shuffle for weights)."""
+    cc = kg_cooccurrence_counts(spark, sf_dir)
+    w = cc.select(
+        "subject", "object", F.expr("1000000L div n_docs").alias("w")
+    )
+    und = w.unionByName(
+        w.select(
+            F.col("object").alias("subject"),
+            F.col("subject").alias("object"),
+            "w",
+        )
+    )
+    dist = (
+        und.select(F.col("subject").alias("id"))
+        .distinct()
+        .filter(F.col("id") == HUB)
+        .select("id", F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    prev = dist
+    for _ in range(BFS_ROUNDS):
+        reached = und.join(dist, und.subject == dist.id).select(
+            F.col("object").alias("id"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        dist.count()  # materialize before releasing the previous round
+        prev.unpersist()
+        prev = dist
+    return dist
+
+
+def _weighted_bfs_sql() -> str:
+    parts = [
+        """wcnt AS (
+  SELECT a.curie AS s, b.curie AS o, count(*) AS n
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id AND a.curie < b.curie
+  GROUP BY a.curie, b.curie
+)""",
+        """wund AS (
+  SELECT s AS subject, o AS object, 1000000 // n AS w FROM wcnt
+  UNION ALL
+  SELECT o AS subject, s AS object, 1000000 // n AS w FROM wcnt
+)""",
+        f"d0 AS (SELECT '{HUB}' AS id, CAST(0 AS BIGINT) AS dist "
+        f"WHERE EXISTS (SELECT 1 FROM wund WHERE subject = '{HUB}'))",
+    ]
+    for k in range(BFS_ROUNDS):
+        parts.append(
+            f"d{k + 1} AS (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{k} "
+            f"UNION ALL "
+            f"SELECT wund.object AS id, d{k}.dist + wund.w AS dist "
+            f"FROM wund JOIN d{k} ON wund.subject = d{k}.id"
+            f") GROUP BY id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, dist FROM d{BFS_ROUNDS}"
+
+
 def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity triangle participation over the co-occurrence graph —
     the clustering-structure metric next to degree (A5) and common
@@ -1711,6 +1795,7 @@ KG_QUERIES = {
     "kg_triangle_counts": kg_triangle_counts,
     "kg_clustering_coefficient": kg_clustering_coefficient,
     "kg_hub_distances": kg_hub_distances,
+    "kg_weighted_distances": kg_weighted_distances,
     "kg_resource_allocation": kg_resource_allocation,
     "kg_adamic_adar": kg_adamic_adar,
     "kg_label_propagation": kg_label_propagation,
@@ -1958,6 +2043,10 @@ FROM t, w
     "kg_hub_distances": f"""
 WITH {_CTE},
 {_bfs_sql()}
+""",
+    "kg_weighted_distances": f"""
+WITH {_CTE},
+{_weighted_bfs_sql()}
 """,
     "kg_resource_allocation": f"""
 WITH {_CTE},

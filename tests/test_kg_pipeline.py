@@ -96,3 +96,36 @@ def test_package_kgx_tar_roundtrip(spark, tmp_path):
     package_kgx_tar(out, tar2)
     h = lambda p: hashlib.sha256(open(p, "rb").read()).hexdigest()  # noqa: E731
     assert h(tar_path) == h(tar2)
+
+
+def test_weighted_distances_agree_with_bfs_reachability(spark):
+    """kg_weighted_distances: within the same hop bound, the reachable
+    set is weight-independent (must equal the unweighted BFS's), the
+    hub costs 0, and every other node costs at least one edge's
+    minimum weight and at most BFS_ROUNDS x the maximum weight."""
+    from kg_covid_19_spark.plans.queries import (
+        BFS_ROUNDS,
+        HUB,
+        kg_cooccurrence_counts,
+        kg_hub_distances,
+        kg_weighted_distances,
+    )
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    wd = {r.id: r.dist for r in kg_weighted_distances(spark, SF_DIR).collect()}
+    bfs = {r.id: r.dist for r in kg_hub_distances(spark, SF_DIR).collect()}
+    assert set(wd) == set(bfs)
+    assert wd[HUB] == 0
+    w = (
+        kg_cooccurrence_counts(spark, SF_DIR)
+        .select(F.expr("1000000L div n_docs").alias("w"))
+        .agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+        .collect()[0]
+    )
+    for node, dist in wd.items():
+        if node == HUB:
+            continue
+        assert w.lo <= dist <= BFS_ROUNDS * w.hi, (node, dist)
+        # a k-hop path can never beat fewer hops times the cheapest edge
+        assert dist >= bfs[node] * w.lo

@@ -102,7 +102,18 @@ def _late_bench():
         "doc_dup_spans": DEDUP_QUERIES["doc_dup_spans"],
         "doc_dup_span_strip": DEDUP_QUERIES["doc_dup_span_strip"],
         "doc_dup_profile": DEDUP_QUERIES["doc_dup_profile"],
+        # r6 second wave — edge cohesion + LM scoring + curation manifest
+        "kg_edge_support": KG_QUERIES["kg_edge_support"],
+        "kg_ktruss_fixpoint": KG_QUERIES["kg_ktruss_fixpoint"],
+        "txt_bigram_lm": _textstats()["txt_bigram_lm"],
+        "doc_dedup_keep_best": DEDUP_QUERIES["doc_dedup_keep_best"],
     }
+
+
+def _textstats():
+    from kg_covid_19_spark.functions.textstats import TEXTSTATS_QUERIES
+
+    return TEXTSTATS_QUERIES
 
 
 PIPELINE_BENCH.update(_late_bench())

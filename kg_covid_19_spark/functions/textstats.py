@@ -40,6 +40,33 @@ def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score(text_col) -> F.Column:
+    """The C4/Gopher-style quality heuristic as a reusable column
+    expression (length gate × stopword-ratio closeness, rounded to 6
+    decimals) — single definition point shared by txt_quality and the
+    dedup survivor election, with ``quality_sql`` as its engine twin."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.round(
+        F.least(n / F.lit(50.0), F.lit(1.0))
+        * (F.lit(1.0) - F.abs(stop_hits / n - F.lit(0.1))),
+        6,
+    )
+
+
+def quality_sql(text: str = "text") -> str:
+    """DuckDB rendering of quality_score over column/expr ``text``."""
+    return (
+        f"round(least(len(string_split({text}, ' ')) / 50.0, 1.0) *\n"
+        f"      (1.0 - abs(len(list_filter(string_split({text}, ' '),\n"
+        f"                                 t -> t IN ('the', 'a'))) /\n"
+        f"                 CAST(len(string_split({text}, ' ')) AS DOUBLE)"
+        f" - 0.1)),\n"
+        f"      6)"
+    )
+
+
 def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length gate × stopword-ratio closeness — the
     C4/Gopher-style heuristic shape, deterministic arithmetic."""
@@ -48,13 +75,11 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     stop_ratio = stop_hits / n
-    len_gate = F.least(n / F.lit(50.0), F.lit(1.0))
-    score = F.round(len_gate * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.1))), 6)
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        score.alias("quality"),
+        quality_score(F.col("text")).alias("quality"),
     )
 
 
@@ -536,7 +561,99 @@ def _redact_sql(expr: str) -> str:
     return out
 
 
+def txt_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram language-model scoring — the
+    CCNet/KenLM quality-filter shape, exact-integer for engine parity:
+    train add-one-smoothed bigram statistics over the whole corpus
+    (C2 = bigram counts, C1 = history counts, V = vocabulary size),
+    then score every document by its mean smoothed transition
+    probability in ppm, Σ (C2+1)·10⁶ div (C1+V) div n_bigrams. Low
+    scores mark incoherent/noise documents (rare transitions), and
+    n_singleton — the document's count of corpus-unique bigrams — is
+    the inverse-duplication signal (a near-duplicated document shares
+    every transition, so its singleton count collapses to ~0).
+
+    No libm, no floats: per-term integer div then an integer sum, so
+    partition order can't perturb the hash (the Adamic-Adar lesson).
+    Scale shape: bigram expansion is row-local (the txt_bpe_pairs
+    transform idiom); C2/C1 are partial-agg collapsed map-side; the
+    score join keys on the bigram — hot function-word bigrams ("of
+    the") skew that shuffle and AQE's skew-join split absorbs it, the
+    same hazard class the planted-hub plan test pins. V is a 1-row
+    aggregate crossJoined in, never collected."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_frame(docs)
+
+
+def bigram_lm_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_bigrams, mean_p_ppm, n_singleton);
+    the txt_bigram_lm core, frame-parametrized for unit tests."""
+    docs = docs.select("doc_id", F.split("text", " ").alias("t"))
+    big = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.get(F.col("t"), i - 1).alias("w1"),
+                        F.get(F.col("t"), i).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    v = docs.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(v)
+        .select(
+            "doc_id",
+            F.expr("(n2 + 1) * 1000000L div (n1 + v)").alias("p_ppm"),
+            "n2",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum(p_ppm) div count(*)").alias("mean_p_ppm"),
+            F.expr(
+                "CAST(sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END) AS LONG)"
+            ).alias("n_singleton"),
+        )
+    )
+
+
 TEXTSTATS_ORACLES = {
+    "txt_bigram_lm": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum((n2 + 1) * 1000000 // (n1 + v)) // count(*) AS BIGINT)
+         AS mean_p_ppm,
+       CAST(sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singleton
+FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id
+""",
     "txt_repetition": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -679,6 +796,7 @@ TEXTSTATS_QUERIES = {
     "txt_top_tokens": txt_top_tokens,
     "txt_top_tokens_approx": txt_top_tokens_approx,
     "txt_bpe_pairs": txt_bpe_pairs,
+    "txt_bigram_lm": txt_bigram_lm,
     "txt_lang_confusion": txt_lang_confusion,
     "txt_rarity": txt_rarity,
     "txt_top_docs_per_lang": txt_top_docs_per_lang,

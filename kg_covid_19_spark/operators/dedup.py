@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 
 from ..sources.corpus import read_table, register_session_cache, table_source_key
 
+
+def _quality_sql_expr() -> str:
+    """Late import of the shared quality-SQL twin (textstats owns the
+    single definition point for the quality heuristic)."""
+    from ..functions.textstats import quality_sql
+
+    return quality_sql("text")
+
 N_HASHES = 8
 BAND_SIZE = 2  # → 4 bands of 2 hashes
 
@@ -419,7 +427,9 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_cluster_sql() -> str:
+def _dedup_cluster_ctes() -> tuple[str, str]:
+    """(CTE chain, final-label CTE name) — shared by the cluster
+    oracle and the quality-survivor oracle built on top of it."""
     parts = [
         """pairs AS (
   SELECT i.a, i.b
@@ -440,10 +450,54 @@ def _dedup_cluster_sql() -> str:
             f"FROM und JOIN l{k} ON und.b = l{k}.doc_id"
             f") GROUP BY doc_id)"
         )
+    return ",\n".join(parts), f"l{CLUSTER_ROUNDS}"
+
+
+def _dedup_cluster_sql() -> str:
+    ctes, last = _dedup_cluster_ctes()
     return (
-        ",\n".join(parts)
+        ctes
         + f"\nSELECT doc_id, lbl AS cluster, doc_id = lbl AS is_survivor "
-        f"FROM l{CLUSTER_ROUNDS}"
+        f"FROM {last}"
+    )
+
+
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor election — the corpus-curation refinement
+    of doc_dedup_clusters: instead of min-doc_id-wins, each near-dup
+    cluster keeps its HIGHEST-quality member (C4/Gopher heuristic,
+    ties broken by doc_id), and unclustered docs are their own
+    singleton cluster, so `WHERE keep` is the curated corpus manifest.
+    This is the policy real training pipelines want: when a page was
+    crawled both as clean text and as a boilerplate-wrapped variant,
+    min-id keeps whichever got the smaller id; quality-argmax keeps the
+    clean one.
+
+    Scale shape: quality is a row-local expression over the corpus
+    scan; cluster labels are the already-cached hash-min frame; the
+    join keys on doc_id (unskewed); the argmax is a row_number window
+    partitioned by cluster — near-dup clusters are short chains, so
+    window partitions are tiny (the txt_top_docs_per_lang bounded-
+    partition argument, with even smaller groups)."""
+    from pyspark.sql import Window
+
+    from ..functions.textstats import quality_score
+
+    q = dedup_corpus(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    clusters = doc_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    lab = q.join(clusters, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("cluster", "doc_id")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        "cluster",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
     )
 
 
@@ -1140,6 +1194,20 @@ WITH {_candidates_sql()},
 {_NEARDUP_CHAIN_SQL},
 {_dedup_cluster_sql()}
 """,
+    "doc_dedup_keep_best": f"""
+WITH {_candidates_sql()},
+{_NEARDUP_CHAIN_SQL},
+{_dedup_cluster_ctes()[0]},
+q AS (SELECT doc_id, {_quality_sql_expr()} AS quality FROM corpus),
+lab AS (
+  SELECT q.doc_id, coalesce(l.lbl, q.doc_id) AS cluster, q.quality
+  FROM q LEFT JOIN {_dedup_cluster_ctes()[1]} l ON q.doc_id = l.doc_id
+)
+SELECT doc_id, cluster, quality,
+       row_number() OVER (PARTITION BY cluster
+                          ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+FROM lab
+""",
     "doc_simhash_clusters": f"""
 WITH {_SIMHASH_CTE}
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
@@ -1236,4 +1304,5 @@ DEDUP_QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_minhash_jaccard_est": minhash_jaccard_estimate,
     "doc_dedup_clusters": doc_dedup_clusters,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
 }

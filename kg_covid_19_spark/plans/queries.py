@@ -1353,6 +1353,27 @@ def triangle_counts_frame(
     low-id hub turns quadratic. The bench's planted-hub slice times
     the two side by side so the r3 refactor's win is a measured number
     at its design point, not prose."""
+    tri = triangles_frame(e, deg, degree_ordered=degree_ordered)
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def triangles_frame(
+    e: DataFrame, deg: DataFrame, degree_ordered: bool = True
+) -> DataFrame:
+    """Triangle ENUMERATION — one (a, b, c) row per triangle, members
+    in wedge order (a = wedge center, so a/b/c is NOT id-sorted under
+    degree ordering; consumers id-sort the member pairs they need).
+    This is triangle_counts_frame's plan minus the final corner
+    explode, factored out so edge-level consumers (support, truss)
+    reuse the enumeration without forcing the per-node aggregate.
+    degree_ordered=True is the production orientation (O(m^1.5) wedge
+    bound); False orients by id alone — same triangle set, but a
+    low-id hub turns the wedge intermediate quadratic (the bench's
+    planted-hub slice measures the gap)."""
     ed = e.join(
         deg.select(F.col("id").alias("subject"), F.col("deg").alias("ds")),
         "subject",
@@ -1390,14 +1411,163 @@ def triangle_counts_frame(
         F.col(ord_col).alias("deg_c"),
     )
     wedges = w1.join(w2, "a").filter(later)
-    tri = wedges.join(
+    return wedges.join(
         o.select(F.col("src").alias("b"), F.col("dst").alias("c")),
         ["b", "c"],
+    ).select("a", "b", "c")
+
+
+def _edge_support_frame(e: DataFrame) -> DataFrame:
+    """(x, y, support) for an id-ordered undirected edge frame ``e``
+    (subject < object, one row per edge): the number of triangles each
+    edge closes, 0-support edges included. Triangles enumerate degree-
+    oriented (hub-safe on a power-law web graph); the three member
+    pairs id-sort back with least/greatest — pure column algebra —
+    then a partial-agg count joins LEFT onto the edge list so
+    triangle-free edges surface with support 0 instead of vanishing."""
+    deg = (
+        _undirected(e)
+        .groupBy(F.col("subject").alias("id"))
+        .agg(F.count("*").alias("deg"))
     )
+    tri = triangles_frame(e, deg)
+    tedges = None
+    for u, v in (("a", "b"), ("a", "c"), ("b", "c")):
+        part = tri.select(
+            F.least(F.col(u), F.col(v)).alias("x"),
+            F.greatest(F.col(u), F.col(v)).alias("y"),
+        )
+        tedges = part if tedges is None else tedges.unionAll(part)
+    sup = tedges.groupBy("x", "y").agg(F.count("*").alias("support"))
     return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("n_triangles"))
+        e.join(
+            sup,
+            (e["subject"] == sup["x"]) & (e["object"] == sup["y"]),
+            "left",
+        )
+        .select(
+            F.col("subject").alias("x"),
+            F.col("object").alias("y"),
+            F.coalesce(F.col("support"), F.lit(0).cast("long")).alias(
+                "support"
+            ),
+        )
+    )
+
+
+def kg_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support over the co-occurrence graph — the
+    edge-level sibling of kg_triangle_counts (per-node) and the
+    single-pass building block of the k-truss. Support is the standard
+    cohesion signal for edge denoising in KG construction: a
+    correlated_with edge in zero triangles is an isolated co-mention
+    (likely noise), one embedded in many is community-supported. Scale
+    shape: one degree aggregate + the O(m^1.5) degree-oriented wedge
+    join + a partial-agg pair count + one left join keyed on the edge
+    pair — no collects, no cartesians, skew bounded by the degree
+    orientation exactly as in kg_triangle_counts."""
+    _, edges = get_kg(spark, sf_dir)
+    e = edges.filter(
+        F.col("predicate") == "biolink:correlated_with"
+    ).select("subject", "object")
+    return _edge_support_frame(e)
+
+
+KTRUSS_K = 4
+KTRUSS_FIXPOINT_UNROLL = 12
+
+
+def kg_ktruss_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-TRUSS decomposition at k=KTRUSS_K: iteratively delete every
+    edge in fewer than k−2 triangles until none remains to delete —
+    the edge-level analog of kg_kcore_fixpoint and the denser-than-
+    core cohesion standard (every k-truss is a subgraph of the
+    (k−1)-core, not vice versa). Each round recomputes degree-oriented
+    triangle support on the surviving edges, peels, and truncates
+    lineage with localCheckpoint (the components_fixpoint OOM lesson).
+    Oracle contract is EXACT, mirroring kcore: peeling is monotone, an
+    oracle unrolled to KTRUSS_FIXPOINT_UNROLL rounds equals the
+    fixpoint whenever convergence takes ≤ that many rounds, and the
+    Spark side RAISES if it ever needs more — the two can never
+    silently diverge (the adversarial case, a triangle strip that
+    unravels one triangle per round, is exercised in tests)."""
+    key = (*table_source_key(spark, sf_dir), "ktruss_fixpoint")
+    if key not in _ITER_CACHE:
+        _, edges = get_kg(spark, sf_dir)
+        e = edges.filter(
+            F.col("predicate") == "biolink:correlated_with"
+        ).select("subject", "object")
+        _ITER_CACHE[key] = ktruss_fixpoint_frame(e, KTRUSS_K)
+    return _ITER_CACHE[key]
+
+
+def ktruss_fixpoint_frame(e: DataFrame, k: int) -> DataFrame:
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(KTRUSS_FIXPOINT_UNROLL):
+        if n_edges == 0:
+            break
+        kept = (
+            _edge_support_frame(e)
+            .filter(F.col("support") >= k - 2)
+            .select(
+                F.col("x").alias("subject"), F.col("y").alias("object")
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_now = kept.count()
+        if n_now == n_edges:
+            break
+        e, n_edges = kept, n_now
+    else:
+        raise RuntimeError(
+            f"k-truss peeling did not converge within "
+            f"{KTRUSS_FIXPOINT_UNROLL} rounds — raise "
+            f"KTRUSS_FIXPOINT_UNROLL (and the oracle unroll with it)"
+        )
+    return _edge_support_frame(e)
+
+
+def _edge_support_sql_round(src: str, tri: str, sup: str) -> str:
+    """One triangle-support round over id-ordered edge CTE ``src`` —
+    shared by the single-pass and unrolled-truss oracles. MATERIALIZED
+    for the same reason as the kcore oracle: each round references the
+    previous one several times and DuckDB's default CTE inlining would
+    exponentiate the chain."""
+    return (
+        f"{tri} AS MATERIALIZED (\n"
+        f"  SELECT ab.subject AS a, ab.object AS b, bc.object AS c\n"
+        f"  FROM {src} ab\n"
+        f"  JOIN {src} bc ON ab.object = bc.subject\n"
+        f"  JOIN {src} ac ON ac.subject = ab.subject AND ac.object = bc.object\n"
+        f"),\n"
+        f"{sup} AS MATERIALIZED (\n"
+        f"  SELECT x, y, count(*) AS n FROM (\n"
+        f"    SELECT a AS x, b AS y FROM {tri}\n"
+        f"    UNION ALL SELECT a, c FROM {tri}\n"
+        f"    UNION ALL SELECT b, c FROM {tri}) GROUP BY x, y\n"
+        f")"
+    )
+
+
+def _ktruss_fixpoint_sql() -> str:
+    parts = ["e0 AS MATERIALIZED (SELECT subject, object FROM cooc_edges)"]
+    for r in range(KTRUSS_FIXPOINT_UNROLL):
+        parts.append(_edge_support_sql_round(f"e{r}", f"t{r}", f"s{r}"))
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (\n"
+            f"  SELECT e.subject, e.object FROM e{r} e\n"
+            f"  JOIN s{r} s ON e.subject = s.x AND e.object = s.y\n"
+            f"  WHERE s.n >= {KTRUSS_K - 2}\n"
+            f")"
+        )
+    last = KTRUSS_FIXPOINT_UNROLL
+    parts.append(_edge_support_sql_round(f"e{last}", f"t{last}", f"s{last}"))
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT e.subject AS x, e.object AS y, s.n AS support\n"
+        f"FROM e{last} e JOIN s{last} s "
+        f"ON e.subject = s.x AND e.object = s.y"
     )
 
 
@@ -1793,6 +1963,8 @@ KG_QUERIES = {
     "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
     "kg_triangle_counts": kg_triangle_counts,
+    "kg_edge_support": kg_edge_support,
+    "kg_ktruss_fixpoint": kg_ktruss_fixpoint,
     "kg_clustering_coefficient": kg_clustering_coefficient,
     "kg_hub_distances": kg_hub_distances,
     "kg_weighted_distances": kg_weighted_distances,
@@ -2017,6 +2189,17 @@ members AS (
   UNION ALL SELECT c FROM tri
 )
 SELECT id, count(*) AS n_triangles FROM members GROUP BY id
+""",
+    "kg_edge_support": f"""
+WITH {_CTE},
+{_edge_support_sql_round('cooc_edges', 'tri', 'sup')}
+SELECT e.subject AS x, e.object AS y, coalesce(s.n, 0) AS support
+FROM cooc_edges e
+LEFT JOIN sup s ON e.subject = s.x AND e.object = s.y
+""",
+    "kg_ktruss_fixpoint": f"""
+WITH {_CTE},
+{_ktruss_fixpoint_sql()}
 """,
     "kg_clustering_coefficient": f"""
 WITH {_CTE},

@@ -486,3 +486,22 @@ def test_dup_profile_counts_and_ppm(spark, tmp_path):
         8: (9, 8, 1, 888_888),
         9: (9, 8, 2, 888_888),
     }
+
+
+def test_keep_best_elects_quality_argmax_per_cluster(spark):
+    """The survivor election must be quality-argmax (doc_id tiebreak),
+    not min-id: every cluster keeps exactly one member, and it is the
+    (quality DESC, doc_id ASC) maximum; unclustered docs keep
+    themselves."""
+    from kg_covid_19_spark.operators.dedup import doc_dedup_keep_best
+
+    rows = doc_dedup_keep_best(spark, SF_DIR).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert sum(len(v) > 1 for v in by_cluster.values()) > 0  # non-vacuous
+    for members in by_cluster.values():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1
+        best = min(members, key=lambda r: (-r["quality"], r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]

@@ -203,3 +203,30 @@ def test_aa_ln_table_is_exact_and_monotone():
     assert d[1024] == 6931471   # 10·ln 2
     vals = [p for _, p in tab]
     assert vals == sorted(vals)
+
+
+def test_bigram_lm_scores_hand_computed_micro_corpus(spark):
+    """Hand-verified LM arithmetic plus the two semantic claims:
+    duplicated documents have zero corpus-unique bigrams (n_singleton
+    is the inverse-duplication signal) and a one-off document's
+    bigrams are all singletons."""
+    from kg_covid_19_spark.functions.textstats import bigram_lm_frame
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a b"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_p_ppm"], r["n_singleton"])
+        for r in bigram_lm_frame(docs).collect()
+    }
+    # corpus bigrams: doc1/doc2 each contribute (a,b)x2, (b,a)x1;
+    # doc3 contributes (x,y), (y,z).
+    # C2: (a,b)=4 (b,a)=2 (x,y)=1 (y,z)=1; C1: a=4 b=2 x=1 y=1; V=5.
+    # doc1 terms: (a,b): (4+1)*1e6 // (4+5) = 555555  (x2)
+    #             (b,a): (2+1)*1e6 // (2+5) = 428571
+    # mean = (555555*2 + 428571) // 3 = 513227
+    assert got[1] == (3, (555_555 * 2 + 428_571) // 3, 0)
+    assert got[2] == got[1]
+    # doc3: (x,y): 2*1e6 // (1+5) = 333333 (x2 terms, both singleton)
+    assert got[3] == (2, 333_333, 2)

@@ -466,3 +466,74 @@ def test_clustering_coefficient_consistent_with_parts(spark):
     assert row["n_wedges"] == wedges
     assert row["gcc_ppm"] == t3 * 1_000_000 // wedges
     assert 0 < row["gcc_ppm"] <= 1_000_000
+
+
+def _id_ordered_edges(spark, pairs):
+    return spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in pairs}),
+        "subject string, object string",
+    )
+
+
+def test_edge_support_planted_bowtie(spark):
+    """Bowtie (two triangles sharing edge b-c) plus a pendant edge:
+    the shared edge carries support 2, each wing edge 1, and the
+    pendant surfaces with support 0 instead of vanishing — the
+    0-support rows are the denoising signal kg_edge_support exists
+    for."""
+    from kg_covid_19_spark.plans.queries import _edge_support_frame
+
+    e = _id_ordered_edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("c", "e")],
+    )
+    got = {(r["x"], r["y"]): r["support"] for r in _edge_support_frame(e).collect()}
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2,
+        ("b", "d"): 1, ("c", "d"): 1, ("c", "e"): 0,
+    }
+
+
+def test_ktruss_strip_unravels_and_k4_survives(spark):
+    """4-truss (support ≥ 2): a triangle strip's outer edges sit in one
+    triangle each, so peeling cascades until nothing is left — while a
+    K4, where every edge closes exactly two triangles, survives intact.
+    This is the structure-vs-noise separation the truss adds over the
+    k-core (the strip IS a 2-core: degree alone never peels it)."""
+    from kg_covid_19_spark.plans.queries import ktruss_fixpoint_frame
+
+    strip = _id_ordered_edges(
+        spark,
+        [("v0", "v1"), ("v0", "v2"), ("v1", "v2"), ("v1", "v3"),
+         ("v2", "v3"), ("v2", "v4"), ("v3", "v4"), ("v3", "v5"),
+         ("v4", "v5")],
+    )
+    assert ktruss_fixpoint_frame(strip, 4).count() == 0
+    k4 = _id_ordered_edges(
+        spark,
+        [(a, b) for a in "abcd" for b in "abcd" if a < b],
+    )
+    got = {(r["x"], r["y"]): r["support"]
+           for r in ktruss_fixpoint_frame(k4, 4).collect()}
+    assert got == {(a, b): 2 for a in "abcd" for b in "abcd" if a < b}
+
+
+def test_ktruss_raises_past_unroll(spark, monkeypatch):
+    """Cap exhaustion must RAISE, never return a partial peel — the
+    oracle computes the true fixpoint via its full unroll, so a
+    silently non-converged Spark result would diverge (same contract
+    as kcore_fixpoint / components_fixpoint)."""
+    import pytest
+
+    from kg_covid_19_spark.plans import queries
+
+    monkeypatch.setattr(queries, "KTRUSS_FIXPOINT_UNROLL", 1)
+    strip = _id_ordered_edges(
+        spark,
+        [("v0", "v1"), ("v0", "v2"), ("v1", "v2"), ("v1", "v3"),
+         ("v2", "v3"), ("v2", "v4"), ("v3", "v4"), ("v3", "v5"),
+         ("v4", "v5")],
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        queries.ktruss_fixpoint_frame(strip, 4)

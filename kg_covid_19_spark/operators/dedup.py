@@ -205,11 +205,9 @@ def _band_cols() -> list[tuple[int, Column]]:
     return out
 
 
-def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any band bucket → distinct (a, b) pairs,
-    a < b. The join key is (band_idx, band_key) — bucket-local self-join."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """Signature frame → one (doc_id, band, key) row per LSH band."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -220,6 +218,13 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band bucket → distinct (a, b) pairs,
+    a < b. The join key is (band_idx, band_key) — bucket-local self-join."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = _band_frame(sig)
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -459,6 +464,79 @@ def _dedup_cluster_sql() -> str:
         ctes
         + f"\nSELECT doc_id, lbl AS cluster, doc_id = lbl AS is_survivor "
         f"FROM {last}"
+    )
+
+
+def doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-index near-dup check — the CONTINUOUS-crawl ingest
+    shape none of the batch dedup queries cover: an already-curated
+    corpus (the raw documents, doc_id < EXACT_OFFSET) serves as the
+    INDEX, the planted copies are the incoming BATCH, and every batch
+    doc is checked against the index ONLY. No corpus re-clustering, no
+    batch×batch pairs — candidate generation is the batch bands
+    equi-joined to the index bands, then the usual exact shingle-
+    Jaccard verify, emitting (new_doc_id, dup_of, jaccard).
+
+    Scale asymmetry is the whole point: at 10¹² indexed docs the index
+    band table is a bucketed/partitioned artifact on disk keyed by
+    (band, key), and the DELTA side — a day's crawl, orders of
+    magnitude smaller — is the broadcast/probe side, so ingest dedup
+    costs one scan of the delta plus point lookups, never a corpus
+    shuffle. The planted copies guarantee non-vacuity: every exact
+    copy (J=1.0) and near copy (one token dropped) must surface with
+    its source."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = _band_frame(sig)
+    idx = bands.filter(F.col("doc_id") < EXACT_OFFSET).alias("i")
+    batch = bands.filter(F.col("doc_id") >= EXACT_OFFSET).alias("n")
+    cand = (
+        batch.join(
+            idx,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.key") == F.col("i.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("i.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("new_doc_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("dup_of") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("new_doc_id", "dup_of")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("new_doc_id"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "new_doc_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("dup_of"), F.col("n_sh").alias("n_b")
+            ),
+            "dup_of",
+        )
+        .select(
+            "new_doc_id",
+            "dup_of",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 
@@ -1194,6 +1272,30 @@ WITH {_candidates_sql()},
 {_NEARDUP_CHAIN_SQL},
 {_dedup_cluster_sql()}
 """,
+    "doc_incremental_neardup": f"""
+WITH {DEDUP_CORPUS_CTE},
+{_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, i.doc_id AS dup_of
+  FROM bands n JOIN bands i ON n.band = i.band AND n.key = i.key
+  WHERE n.doc_id >= {EXACT_OFFSET} AND i.doc_id < {EXACT_OFFSET}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.new_doc_id, c.dup_of, count(*) AS n_inter
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.new_doc_id
+  JOIN shingled sb ON sb.doc_id = c.dup_of AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.new_doc_id, i.dup_of,
+       round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON i.new_doc_id = za.doc_id
+JOIN sizes zb ON i.dup_of = zb.doc_id
+WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
+""",
     "doc_dedup_keep_best": f"""
 WITH {_candidates_sql()},
 {_NEARDUP_CHAIN_SQL},
@@ -1305,4 +1407,5 @@ DEDUP_QUERIES = {
     "doc_minhash_jaccard_est": minhash_jaccard_estimate,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_dedup_keep_best": doc_dedup_keep_best,
+    "doc_incremental_neardup": doc_incremental_neardup,
 }

@@ -1528,6 +1528,79 @@ def ktruss_fixpoint_frame(e: DataFrame, k: int) -> DataFrame:
     return _edge_support_frame(e)
 
 
+def kg_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biolink domain/range validation — the KG-construction QA gate
+    the north star's "typed against the Biolink model" clause implies:
+    every edge's (predicate, subject_category, object_category) triple
+    is checked against the model's domain/range rules (mentions:
+    Publication → entity; correlated_with: entity ↔ entity) and the
+    result is a tiny rollup with a `valid` flag, so a violation burst
+    from a bad source lands in monitoring instead of the merged graph.
+
+    Scale shape: the category lookup is SPLIT by id prefix — CORD:*
+    (the 10¹²-row publication side) resolves to biolink:Publication as
+    pure column algebra with NO join, while the entity side joins the
+    dictionary-bounded term-node table broadcast. The expensive join a
+    naive validator would do (edges × full node table, shuffling the
+    publication rows) never happens; unknown endpoints degrade to
+    biolink:NamedThing exactly like the reference's category guesser
+    (transform_utils.py:185-202)."""
+    nodes, edges = get_kg(spark, sf_dir)
+    term_cat = nodes.filter(
+        F.col("category") != "biolink:Publication"
+    ).select("id", "category").distinct()
+    return schema_validation_frame(edges, term_cat)
+
+
+def schema_validation_frame(
+    edges: DataFrame, term_cat: DataFrame
+) -> DataFrame:
+    """(edges, dictionary-bounded (id, category)) → per-(predicate,
+    subject_category, object_category, valid) counts."""
+    tc = F.broadcast(term_cat)
+    e = edges.select("subject", "predicate", "object").join(
+        tc.select(
+            F.col("id").alias("subject"), F.col("category").alias("s_cat")
+        ),
+        "subject",
+        "left",
+    ).join(
+        tc.select(
+            F.col("id").alias("object"), F.col("category").alias("o_cat")
+        ),
+        "object",
+        "left",
+    )
+
+    def cat(side: str, joined: str) -> F.Column:
+        return F.when(
+            F.col(side).startswith("CORD:"), F.lit("biolink:Publication")
+        ).otherwise(F.coalesce(F.col(joined), F.lit("biolink:NamedThing")))
+
+    s = cat("subject", "s_cat")
+    o = cat("object", "o_cat")
+    pub = F.lit("biolink:Publication")
+    valid = (
+        (F.col("predicate") == "biolink:mentions")
+        & (s == pub)
+        & (o != pub)
+    ) | (
+        (F.col("predicate") == "biolink:correlated_with")
+        & (s != pub)
+        & (o != pub)
+    )
+    return (
+        e.select(
+            "predicate",
+            s.alias("subject_category"),
+            o.alias("object_category"),
+            valid.alias("valid"),
+        )
+        .groupBy("predicate", "subject_category", "object_category", "valid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _edge_support_sql_round(src: str, tri: str, sup: str) -> str:
     """One triangle-support round over id-ordered edge CTE ``src`` —
     shared by the single-pass and unrolled-truss oracles. MATERIALIZED
@@ -1965,6 +2038,7 @@ KG_QUERIES = {
     "kg_triangle_counts": kg_triangle_counts,
     "kg_edge_support": kg_edge_support,
     "kg_ktruss_fixpoint": kg_ktruss_fixpoint,
+    "kg_schema_validation": kg_schema_validation,
     "kg_clustering_coefficient": kg_clustering_coefficient,
     "kg_hub_distances": kg_hub_distances,
     "kg_weighted_distances": kg_weighted_distances,
@@ -2200,6 +2274,30 @@ LEFT JOIN sup s ON e.subject = s.x AND e.object = s.y
     "kg_ktruss_fixpoint": f"""
 WITH {_CTE},
 {_ktruss_fixpoint_sql()}
+""",
+    "kg_schema_validation": f"""
+WITH {_CTE},
+typed AS (
+  SELECT e.predicate,
+    CASE WHEN e.subject LIKE 'CORD:%' THEN 'biolink:Publication'
+         ELSE coalesce(ts.category, 'biolink:NamedThing') END
+      AS subject_category,
+    CASE WHEN e.object LIKE 'CORD:%' THEN 'biolink:Publication'
+         ELSE coalesce(tt.category, 'biolink:NamedThing') END
+      AS object_category
+  FROM edges e
+  LEFT JOIN term_nodes ts ON e.subject = ts.id
+  LEFT JOIN term_nodes tt ON e.object = tt.id
+)
+SELECT predicate, subject_category, object_category,
+  ((predicate = 'biolink:mentions'
+    AND subject_category = 'biolink:Publication'
+    AND object_category <> 'biolink:Publication')
+   OR (predicate = 'biolink:correlated_with'
+    AND subject_category <> 'biolink:Publication'
+    AND object_category <> 'biolink:Publication')) AS valid,
+  count(*) AS n
+FROM typed GROUP BY 1, 2, 3, 4
 """,
     "kg_clustering_coefficient": f"""
 WITH {_CTE},

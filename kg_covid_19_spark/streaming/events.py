@@ -463,7 +463,81 @@ sess AS (
 )"""
 
 
+SPIKE_TRAIL = 3    # trailing buckets forming the baseline
+SPIKE_FACTOR = 2   # spike when n > SPIKE_FACTOR x trailing mean
+
+
+def evt_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly flags — the monitoring query every ingest
+    pipeline runs next to its windowed counts: per (event_type, hour)
+    bucket, compare the count against the trailing SPIKE_TRAIL-bucket
+    mean and flag buckets more than SPIKE_FACTOR× above it. The
+    comparison is cross-multiplied (n·TRAIL > FACTOR·Σtrailing) so it
+    stays in exact integers — no float mean, no cross-engine rounding.
+    Buckets without a full trailing history are excluded (their
+    baseline is undefined), pinned by n_prev = TRAIL in both engines.
+
+    Scale shape: the heavy step is the first aggregation (events →
+    per-type-per-hour counts, partial-agg map-side); the window then
+    runs over the tiny bucket series, partitioned by event_type — at
+    web scale the same two-level shape holds with the window partition
+    widened to (type, day) to bound any one partition's series."""
+    return rate_spikes_frame(_events(spark, sf_dir))
+
+
+def rate_spikes_frame(events: DataFrame) -> DataFrame:
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-SPIKE_TRAIL, -1)
+    )
+    return (
+        hourly.select(
+            "event_type",
+            "bucket_start",
+            "n",
+            F.sum("n").over(w).alias("trailing"),
+            F.count("n").over(w).alias("n_prev"),
+        )
+        .filter(F.col("n_prev") == SPIKE_TRAIL)
+        .select(
+            "event_type",
+            "bucket_start",
+            "n",
+            "trailing",
+            (
+                F.col("n") * SPIKE_TRAIL
+                > SPIKE_FACTOR * F.col("trailing")
+            ).alias("spike"),
+        )
+    )
+
+
 EVENTS_ORACLES = {
+    "evt_rate_spikes": f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, bucket_start, n,
+    sum(n) OVER (PARTITION BY event_type ORDER BY bucket_start
+                 ROWS BETWEEN {SPIKE_TRAIL} PRECEDING AND 1 PRECEDING)
+      AS trail_sum,
+    count(n) OVER (PARTITION BY event_type ORDER BY bucket_start
+                   ROWS BETWEEN {SPIKE_TRAIL} PRECEDING AND 1 PRECEDING)
+      AS n_prev
+  FROM hourly
+)
+SELECT event_type, bucket_start, n, CAST(trail_sum AS BIGINT) AS "trailing",
+       n * {SPIKE_TRAIL} > {SPIKE_FACTOR} * trail_sum AS spike
+FROM win WHERE n_prev = {SPIKE_TRAIL}
+""",
     "evt_windowed_counts": """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
        count(*) AS n,
@@ -633,6 +707,7 @@ EVENTS_QUERIES = {
     "evt_funnel": evt_funnel,
     "evt_sessions_native": evt_sessions_native,
     "evt_sliding_counts": evt_sliding_counts,
+    "evt_rate_spikes": evt_rate_spikes,
     "evt_retention": evt_retention,
     "evt_props_stats": evt_props_stats,
     "evt_approx_user_counts": evt_approx_user_counts,

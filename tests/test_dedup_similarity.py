@@ -505,3 +505,34 @@ def test_keep_best_elects_quality_argmax_per_cluster(spark):
         assert len(kept) == 1
         best = min(members, key=lambda r: (-r["quality"], r["doc_id"]))
         assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_incremental_neardup_recovers_planted_copies(spark):
+    """Every planted exact copy must surface against its own source at
+    J=1.0 and every near copy (one trailing token dropped) at J >= 0.5
+    — and no batch x batch or index x index pair may appear (the
+    asymmetric contract)."""
+    from kg_covid_19_spark.operators.dedup import (
+        EXACT_OFFSET,
+        NEAR_OFFSET,
+        doc_incremental_neardup,
+    )
+
+    rows = doc_incremental_neardup(spark, SF_DIR).collect()
+    assert all(r["new_doc_id"] >= EXACT_OFFSET for r in rows)
+    assert all(r["dup_of"] < EXACT_OFFSET for r in rows)
+    pairs = {(r["new_doc_id"], r["dup_of"]): r["jaccard"] for r in rows}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact_ids = [r["doc_id"] for r in
+                 docs.filter("doc_id % 10 = 0").select("doc_id").collect()]
+    near_ids = [r["doc_id"] for r in
+                docs.filter("doc_id % 10 = 1").select("doc_id").collect()]
+    assert exact_ids and near_ids
+    # identical signature → identical bands: exact copies are GUARANTEED
+    for d in exact_ids:
+        assert pairs[(d + EXACT_OFFSET, d)] == 1.0
+    # near copies are probabilistic LSH recall (same 0.8 bar as
+    # test_minhash_recall_of_planted_neardups); found ones verify >= 0.5
+    hit = [d for d in near_ids if (d + NEAR_OFFSET, d) in pairs]
+    assert len(hit) / len(near_ids) >= 0.8
+    assert all(pairs[(d + NEAR_OFFSET, d)] >= 0.5 for d in hit)

@@ -129,3 +129,52 @@ def test_weighted_distances_agree_with_bfs_reachability(spark):
         assert w.lo <= dist <= BFS_ROUNDS * w.hi, (node, dist)
         # a k-hop path can never beat fewer hops times the cheapest edge
         assert dist >= bfs[node] * w.lo
+
+
+def test_schema_validation_flags_planted_violations(spark):
+    """Domain/range QA must pass the well-typed edges and flag each
+    planted violation class: entity-subject mentions, publication-
+    endpoint correlations, and unknown endpoints degrading to
+    biolink:NamedThing (never silently valid)."""
+    from kg_covid_19_spark.plans.queries import schema_validation_frame
+
+    edges = spark.createDataFrame(
+        [
+            ("CORD:1", "biolink:mentions", "MONDO:0005091"),      # valid
+            ("MONDO:0005091", "biolink:mentions", "CORD:1"),      # invalid
+            ("MONDO:0005091", "biolink:correlated_with", "CHEBI:1"),  # valid
+            ("CORD:1", "biolink:correlated_with", "CHEBI:1"),     # invalid
+            ("XXX:9", "biolink:mentions", "CHEBI:1"),             # invalid
+        ],
+        "subject string, predicate string, object string",
+    )
+    cats = spark.createDataFrame(
+        [("MONDO:0005091", "biolink:Disease"), ("CHEBI:1", "biolink:Drug")],
+        "id string, category string",
+    )
+    rows = schema_validation_frame(edges, cats).collect()
+    got = {
+        (r["predicate"], r["subject_category"], r["object_category"]):
+        (r["valid"], r["n"])
+        for r in rows
+    }
+    assert got[("biolink:mentions", "biolink:Publication",
+                "biolink:Disease")] == (True, 1)
+    assert got[("biolink:mentions", "biolink:Disease",
+                "biolink:Publication")] == (False, 1)
+    assert got[("biolink:correlated_with", "biolink:Disease",
+                "biolink:Drug")] == (True, 1)
+    assert got[("biolink:correlated_with", "biolink:Publication",
+                "biolink:Drug")] == (False, 1)
+    assert got[("biolink:mentions", "biolink:NamedThing",
+                "biolink:Drug")] == (False, 1)
+
+
+def test_schema_validation_kg_is_fully_valid(spark):
+    """The engine's own construction must produce zero violations —
+    the QA gate is green on the pipeline it guards."""
+    from kg_covid_19_spark.plans.queries import kg_schema_validation
+
+    rows = kg_schema_validation(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["valid"] for r in rows)

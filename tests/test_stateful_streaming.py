@@ -39,3 +39,38 @@ def test_stateful_running_totals_converge(spark, tmp_path):
     got = sorted(tuple(r) for r in final.collect())
     want = sorted(tuple(r) for r in user_totals_batch(spark, out).collect())
     assert got == want
+
+
+def test_rate_spikes_planted_burst(spark):
+    """A 5x burst after three quiet hours must flag; the first
+    SPIKE_TRAIL buckets (incomplete baseline) must be excluded; quiet
+    buckets with a full baseline must report spike=False."""
+    import datetime as dt
+
+    from kg_covid_19_spark.streaming.events import (
+        SPIKE_TRAIL,
+        rate_spikes_frame,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    counts = [2, 2, 2, 2, 10]  # hours 0-3 quiet, hour 4 bursts
+    eid = 0
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=i), 1, "x", 0.0)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    got = {
+        r["bucket_start"].hour: (r["n"], r["trailing"], r["spike"])
+        for r in rate_spikes_frame(ev).collect()
+    }
+    assert set(got) == {SPIKE_TRAIL, 4}  # hours 0-2 lack full history
+    assert got[3] == (2, 6, False)
+    assert got[4] == (10, 6, True)   # 10*3 > 2*6

@@ -1601,6 +1601,98 @@ def schema_validation_frame(
     )
 
 
+# Docs with doc_id % 10 == MERGE_DELTA_MOD form "today's crawl" — the
+# deterministic delta slice the incremental-merge rollup ingests against
+# the graph built from everything else.
+MERGE_DELTA_MOD = 9
+
+
+def kg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-graph incremental merge rollup — the KG-side twin of
+    doc_incremental_neardup (the continuous-crawl ingest shape): the
+    graph built from the INDEX docs (doc_id % 10 != MERGE_DELTA_MOD) is
+    the standing artifact, the remaining docs are today's crawl, and
+    the rollup reports how much of the delta's extraction output is
+    genuinely NEW vs already KNOWN — per kind (term_node / cooc_edge /
+    mention_edge), the ingest-monitoring number a merge pipeline gates
+    on before committing a new graph version (reference merge shape:
+    merge_kg.py:22-34, where every source union is followed by
+    id-keyed dedup — this query measures what that dedup would drop).
+
+    Scale shape: both join sides are DICTIONARY-bounded after their
+    distincts (pairs ≤ |dict|², terms ≤ |dict|), so the new/known left
+    joins never see corpus-sized inputs regardless of crawl size;
+    mention edges are new by construction (fresh doc subjects) and are
+    counted without any join. The per-doc pair expansion is row-local
+    (pair_expand) off the persisted mention arrays — zero extra corpus
+    scans beyond the shared materialization every kg_* query reuses."""
+    arrays = get_mention_arrays(spark, sf_dir)
+    is_delta = (F.col("doc_id") % 10) == MERGE_DELTA_MOD
+    return incremental_merge_frame(
+        arrays.filter(~is_delta), arrays.filter(is_delta)
+    )
+
+
+def incremental_merge_frame(idx: DataFrame, delta: DataFrame) -> DataFrame:
+    """(index (doc_id, curies), delta (doc_id, curies)) → per-(kind,
+    status) counts with kind ∈ {term_node, cooc_edge, mention_edge},
+    status ∈ {new, known}."""
+
+    def dpairs(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode_outer(pair_expand(F.col("curies"))).alias("p")
+            )
+            .filter(F.col("p").isNotNull())
+            .select(
+                F.col("p.s").alias("subject"), F.col("p.o").alias("object")
+            )
+            .distinct()
+        )
+
+    def dterms(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode_outer("curies").alias("curie"))
+            .filter(F.col("curie").isNotNull())
+            .distinct()
+        )
+
+    status = (
+        F.when(F.col("known").isNotNull(), F.lit("known"))
+        .otherwise(F.lit("new"))
+        .alias("status")
+    )
+    pair_roll = (
+        dpairs(delta)
+        .join(
+            dpairs(idx).withColumn("known", F.lit(1)),
+            ["subject", "object"],
+            "left",
+        )
+        .groupBy(status)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("cooc_edge").alias("kind"), "status", "n")
+    )
+    term_roll = (
+        dterms(delta)
+        .join(dterms(idx).withColumn("known", F.lit(1)), "curie", "left")
+        .groupBy(status)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("term_node").alias("kind"), "status", "n")
+    )
+    mention_roll = (
+        delta.select(F.explode_outer("curies").alias("curie"))
+        .filter(F.col("curie").isNotNull())
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("mention_edge").alias("kind"),
+            F.lit("new").alias("status"),
+            "n",
+        )
+    )
+    return pair_roll.unionByName(term_roll).unionByName(mention_roll)
+
+
 def _edge_support_sql_round(src: str, tri: str, sup: str) -> str:
     """One triangle-support round over id-ordered edge CTE ``src`` —
     shared by the single-pass and unrolled-truss oracles. MATERIALIZED
@@ -2039,6 +2131,7 @@ KG_QUERIES = {
     "kg_edge_support": kg_edge_support,
     "kg_ktruss_fixpoint": kg_ktruss_fixpoint,
     "kg_schema_validation": kg_schema_validation,
+    "kg_incremental_merge": kg_incremental_merge,
     "kg_clustering_coefficient": kg_clustering_coefficient,
     "kg_hub_distances": kg_hub_distances,
     "kg_weighted_distances": kg_weighted_distances,
@@ -2298,6 +2391,38 @@ SELECT predicate, subject_category, object_category,
     AND object_category <> 'biolink:Publication')) AS valid,
   count(*) AS n
 FROM typed GROUP BY 1, 2, 3, 4
+""",
+    "kg_incremental_merge": f"""
+WITH {_CTE},
+delta_m AS (
+  SELECT doc_id, curie FROM mentions WHERE doc_id % 10 = {MERGE_DELTA_MOD}
+),
+idx_m AS (
+  SELECT doc_id, curie FROM mentions WHERE doc_id % 10 <> {MERGE_DELTA_MOD}
+),
+delta_p AS (
+  SELECT DISTINCT a.curie AS s, b.curie AS o
+  FROM delta_m a JOIN delta_m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+),
+idx_p AS (
+  SELECT DISTINCT a.curie AS s, b.curie AS o
+  FROM idx_m a JOIN idx_m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+),
+delta_t AS (SELECT DISTINCT curie FROM delta_m),
+idx_t AS (SELECT DISTINCT curie FROM idx_m)
+SELECT 'cooc_edge' AS kind,
+       CASE WHEN i.s IS NULL THEN 'new' ELSE 'known' END AS status,
+       count(*) AS n
+FROM delta_p d LEFT JOIN idx_p i ON d.s = i.s AND d.o = i.o
+GROUP BY 1, 2
+UNION ALL
+SELECT 'term_node',
+       CASE WHEN i.curie IS NULL THEN 'new' ELSE 'known' END,
+       count(*)
+FROM delta_t d LEFT JOIN idx_t i ON d.curie = i.curie
+GROUP BY 1, 2
+UNION ALL
+SELECT 'mention_edge', 'new', count(*) FROM delta_m
 """,
     "kg_clustering_coefficient": f"""
 WITH {_CTE},

@@ -178,3 +178,62 @@ def test_schema_validation_kg_is_fully_valid(spark):
     rows = kg_schema_validation(spark, SF_DIR).collect()
     assert len(rows) > 0
     assert all(r["valid"] for r in rows)
+
+
+def test_incremental_merge_planted_new_and_known(spark):
+    """The rollup must classify exactly: pairs/terms already present in
+    the index graph count as known, fresh ones as new, and mention
+    edges from delta docs are always new."""
+    from kg_covid_19_spark.plans.queries import incremental_merge_frame
+
+    idx = spark.createDataFrame(
+        [(1, ["A", "B"]), (2, ["B", "C"])],
+        "doc_id long, curies array<string>",
+    )
+    delta = spark.createDataFrame(
+        [(3, ["A", "B", "D"])], "doc_id long, curies array<string>"
+    )
+    got = {
+        (r["kind"], r["status"]): r["n"]
+        for r in incremental_merge_frame(idx, delta).collect()
+    }
+    # delta pairs: (A,B) known; (A,D),(B,D) new
+    assert got[("cooc_edge", "known")] == 1
+    assert got[("cooc_edge", "new")] == 2
+    # delta terms: A,B known; D new
+    assert got[("term_node", "known")] == 2
+    assert got[("term_node", "new")] == 1
+    # all three delta mentions are new edges (fresh doc subject)
+    assert got[("mention_edge", "new")] == 3
+    assert ("mention_edge", "known") not in got
+
+
+def test_incremental_merge_totals_consistent(spark):
+    """On the real corpus the per-kind totals must equal direct counts
+    of the delta-side frames (the rollup partitions, never drops)."""
+    from pyspark.sql import functions as F
+
+    from kg_covid_19_spark.plans.pipeline import get_mention_arrays, pair_expand
+    from kg_covid_19_spark.plans.queries import (
+        MERGE_DELTA_MOD,
+        kg_incremental_merge,
+    )
+
+    got = {}
+    for r in kg_incremental_merge(spark, SF_DIR).collect():
+        got[r["kind"]] = got.get(r["kind"], 0) + r["n"]
+    delta = get_mention_arrays(spark, SF_DIR).filter(
+        (F.col("doc_id") % 10) == MERGE_DELTA_MOD
+    )
+    n_pairs = (
+        delta.select(F.explode(pair_expand(F.col("curies"))).alias("p"))
+        .select("p.s", "p.o").distinct().count()
+    )
+    n_terms = (
+        delta.select(F.explode("curies").alias("c")).select("c")
+        .distinct().count()
+    )
+    n_mentions = delta.select(F.explode("curies")).count()
+    assert got.get("cooc_edge", 0) == n_pairs
+    assert got.get("term_node", 0) == n_terms
+    assert got.get("mention_edge", 0) == n_mentions

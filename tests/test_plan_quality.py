@@ -406,3 +406,26 @@ def test_span_strip_kernel_runs_once_corpus_unexchanged(spark):
         l for l in plan.splitlines() if "LeftOuter" in l
     )
     assert "BroadcastHashJoin" in join_line, join_line
+
+
+def test_schema_validation_joins_are_broadcast(spark):
+    """kg_schema_validation's two category lookups must be broadcast
+    hash joins (dictionary-bounded build side) — a SortMergeJoin here
+    would shuffle the publication-heavy edge table on its endpoint
+    ids, exactly the plan the prefix-split design exists to avoid."""
+    from kg_covid_19_spark.plans.queries import kg_schema_validation
+
+    plan = _executed_plan(kg_schema_validation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_merge_joins_dictionary_bounded_sides(spark):
+    """kg_incremental_merge's new/known joins run AFTER the per-side
+    distincts: every join input is dictionary-bounded, so the executed
+    plan's joins must all be broadcast-able (AQE converts them) — no
+    sort-merge exchange of corpus-sized rows survives."""
+    from kg_covid_19_spark.plans.queries import kg_incremental_merge
+
+    plan = _executed_plan(kg_incremental_merge(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan

@@ -107,7 +107,27 @@ def _late_bench():
         "kg_ktruss_fixpoint": KG_QUERIES["kg_ktruss_fixpoint"],
         "txt_bigram_lm": _textstats()["txt_bigram_lm"],
         "doc_dedup_keep_best": DEDUP_QUERIES["doc_dedup_keep_best"],
+        # r6 third wave — incremental-ingest ops, validation, web rollup
+        "doc_incremental_neardup": DEDUP_QUERIES["doc_incremental_neardup"],
+        "kg_incremental_merge": KG_QUERIES["kg_incremental_merge"],
+        "kg_schema_validation": KG_QUERIES["kg_schema_validation"],
+        "evt_rate_spikes": _evt_rate_spikes,
+        "web_host_stats": _web_host_stats,
+        "web_dump_overlap": DEDUP_QUERIES["web_dump_overlap"],
+        "web_dedup_savings": DEDUP_QUERIES["web_dedup_savings"],
     }
+
+
+def _evt_rate_spikes(spark, sf_dir):
+    from kg_covid_19_spark.streaming.events import evt_rate_spikes
+
+    return evt_rate_spikes(spark, sf_dir)
+
+
+def _web_host_stats(spark, sf_dir):
+    from kg_covid_19_spark.functions.urls import web_host_stats
+
+    return web_host_stats(spark, sf_dir)
 
 
 def _textstats():

@@ -26,7 +26,7 @@ dropped (+2_000_000). The oracle CTE plants the identical rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.corpus import read_table, register_session_cache, table_source_key
@@ -537,6 +537,131 @@ def doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _verified_pair_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs with exact integer-ppm Jaccard — the shared
+    frame behind the batch-overlap rollups. Same chain as
+    neardup_pairs (LSH candidates → shingle equi-join → sizes) but the
+    score stays in exact integer arithmetic (n_inter·10⁶ div |A∪B|)
+    so downstream aggregates hash identically across engines."""
+    cand = minhash_candidates(spark, sf_dir)
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "n_inter * 1000000L div (n_a + n_b - n_inter)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def web_dump_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dump duplication matrix — the "how much of crawl B was
+    already in crawl A" table every multi-snapshot web pipeline
+    publishes before deciding which dumps to ingest. Ingest batches
+    are the corpus's planted generations (doc_id div EXACT_OFFSET:
+    0 = base crawl, 1 = exact re-crawl, 2 = near-copy re-crawl); each
+    verified near-dup pair (Jaccard ≥ 0.5, exact integer ppm) rolls up
+    to its (batch_lo, batch_hi) cell with the pair count, the count of
+    distinct redundant docs on the newer side (candidates are emitted
+    a < b and batch offsets grow with doc_id, so b is always the
+    newer-or-equal side), and the mean similarity.
+
+    100 TB shape: the quadratic work lives entirely in the already-
+    bounded LSH candidate set; this query adds one groupBy over a key
+    space of at most (n_batches choose 2) + n_batches cells — the
+    final aggregation is a partial-combine to a handful of rows, no
+    new shuffle of corpus-sized data."""
+    pairs = _verified_pair_ppm(spark, sf_dir).filter(
+        F.col("jaccard_ppm") >= 500_000
+    )
+    return (
+        pairs.select(
+            F.expr(f"a div {EXACT_OFFSET}").alias("batch_lo"),
+            F.expr(f"b div {EXACT_OFFSET}").alias("batch_hi"),
+            "b",
+            "jaccard_ppm",
+        )
+        .groupBy("batch_lo", "batch_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("b").alias("n_dup_docs"),
+            F.expr("sum(jaccard_ppm) div count(*)").alias("mean_jaccard_ppm"),
+        )
+    )
+
+
+def web_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-batch dedup savings report — the docs/bytes-removed
+    accounting a production dedup stage emits so operators can see
+    what each crawl generation actually contributed. A corpus doc is
+    REDUNDANT if it loses exact dedup (same md5 as an earlier doc:
+    member of a >1 group, not the min-doc_id keeper) or near dedup
+    (newer side b of any verified Jaccard ≥ 0.5 pair); the two loser
+    sets are unioned DISTINCT (exact copies also surface as J = 1.0
+    pairs — double-counting them would overstate savings), then rolled
+    up per batch: docs scanned, docs dropped, chars dropped, and the
+    drop rate in ppm.
+
+    100 TB shape: exact losers come from the md5 groupBy (map-side
+    partial combine), near losers from the bounded candidate set;
+    the union is ids-only and the final rollup is a 3-row aggregate.
+    Nothing here re-shuffles document text."""
+    corpus = dedup_corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    w = Window.partitionBy("text_hash")
+    exact_losers = (
+        dedup_corpus(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    near_losers = (
+        _verified_pair_ppm(spark, sf_dir)
+        .filter(F.col("jaccard_ppm") >= 500_000)
+        .select(F.col("b").alias("doc_id"))
+    )
+    losers = exact_losers.unionByName(near_losers).distinct()
+    return (
+        corpus.join(losers.withColumn("lost", F.lit(1)), "doc_id", "left")
+        .groupBy(F.expr(f"doc_id div {EXACT_OFFSET}").alias("batch"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("lost"), F.lit(0))).alias("n_redundant"),
+            F.sum(
+                F.when(F.col("lost").isNotNull(), F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("chars_redundant"),
+            F.expr(
+                "sum(coalesce(lost, 0)) * 1000000L div count(*)"
+            ).alias("redundant_ppm"),
+        )
     )
 
 
@@ -1254,6 +1379,55 @@ JOIN sizes za ON i.a = za.doc_id
 JOIN sizes zb ON i.b = zb.doc_id
 WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
 """,
+    "web_dump_overlap": f"""
+WITH {_candidates_sql()},
+{_NEARDUP_CHAIN_SQL},
+ppm AS (
+  SELECT i.a, i.b,
+         n_inter * 1000000 // (za.n_sh + zb.n_sh - n_inter) AS jaccard_ppm
+  FROM inter i
+  JOIN sizes za ON i.a = za.doc_id
+  JOIN sizes zb ON i.b = zb.doc_id
+)
+SELECT CAST(a // {EXACT_OFFSET} AS BIGINT) AS batch_lo,
+       CAST(b // {EXACT_OFFSET} AS BIGINT) AS batch_hi,
+       count(*) AS n_pairs,
+       count(DISTINCT b) AS n_dup_docs,
+       CAST(sum(jaccard_ppm) // count(*) AS BIGINT) AS mean_jaccard_ppm
+FROM ppm WHERE jaccard_ppm >= 500000
+GROUP BY 1, 2
+""",
+    "web_dedup_savings": f"""
+WITH {_candidates_sql()},
+{_NEARDUP_CHAIN_SQL},
+exact_losers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM corpus
+  ) WHERE doc_id <> keep
+),
+near_losers AS (
+  SELECT i.b AS doc_id
+  FROM inter i
+  JOIN sizes za ON i.a = za.doc_id
+  JOIN sizes zb ON i.b = zb.doc_id
+  WHERE n_inter * 1000000 // (za.n_sh + zb.n_sh - n_inter) >= 500000
+),
+losers AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id FROM exact_losers UNION ALL SELECT doc_id FROM near_losers)
+)
+SELECT CAST(c.doc_id // {EXACT_OFFSET} AS BIGINT) AS batch,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN length(c.text)
+                     ELSE 0 END) AS BIGINT) AS chars_redundant,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS redundant_ppm
+FROM corpus c LEFT JOIN losers l ON c.doc_id = l.doc_id
+GROUP BY 1
+""",
     "doc_containment_pairs": f"""
 WITH {_candidates_sql()},
 {_NEARDUP_CHAIN_SQL}
@@ -1408,4 +1582,6 @@ DEDUP_QUERIES = {
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_incremental_neardup": doc_incremental_neardup,
+    "web_dump_overlap": web_dump_overlap,
+    "web_dedup_savings": web_dedup_savings,
 }

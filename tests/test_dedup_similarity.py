@@ -536,3 +536,58 @@ def test_incremental_neardup_recovers_planted_copies(spark):
     hit = [d for d in near_ids if (d + NEAR_OFFSET, d) in pairs]
     assert len(hit) / len(near_ids) >= 0.8
     assert all(pairs[(d + NEAR_OFFSET, d)] >= 0.5 for d in hit)
+
+
+def test_dump_overlap_batch_matrix(spark):
+    """The planted generations pin the matrix shape: exact re-crawl
+    docs (batch 1) pair with their base doc at J=1.0, so cell (0,1)
+    must exist with mean_jaccard_ppm = 1_000_000 and one pair per
+    planted copy; near-copy cells (0,2) carry J in [0.5, 1.0); no
+    cell may have batch_lo > batch_hi (candidates are a < b and
+    offsets grow with doc_id)."""
+    from kg_covid_19_spark.operators.dedup import web_dump_overlap
+
+    rows = {(r["batch_lo"], r["batch_hi"]): r
+            for r in web_dump_overlap(spark, SF_DIR).collect()}
+    assert all(lo <= hi for lo, hi in rows)
+    n_exact = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .count()
+    )
+    cell = rows[(0, 1)]
+    assert cell["n_pairs"] >= n_exact
+    assert cell["n_dup_docs"] >= n_exact
+    # every pair verifies >= 0.5 and the planted twins are J=1.0;
+    # chance base-x-copy pairs above the threshold can dilute the mean
+    # but never below the verification floor
+    assert 500_000 <= cell["mean_jaccard_ppm"] <= 1_000_000
+    near = rows[(0, 2)]
+    assert near["n_pairs"] >= 1
+    assert 500_000 <= near["mean_jaccard_ppm"] <= 1_000_000
+
+
+def test_dedup_savings_accounting(spark):
+    """Batch 1 (exact re-crawl) is 100% redundant by construction —
+    every doc in it has an identical earlier twin; batch 0 (the base
+    crawl) must lose nothing to EXACT dedup and only near-dup losses
+    where a batch-0 doc is the newer side of an intra-base pair; doc
+    counts reconcile with the corpus frame."""
+    from kg_covid_19_spark.operators.dedup import (
+        dedup_corpus,
+        web_dedup_savings,
+    )
+
+    rows = {r["batch"]: r for r in web_dedup_savings(spark, SF_DIR).collect()}
+    corpus_n = dedup_corpus(spark, SF_DIR).count()
+    assert sum(r["n_docs"] for r in rows.values()) == corpus_n
+    b1 = rows[1]
+    assert b1["n_redundant"] == b1["n_docs"]
+    assert b1["redundant_ppm"] == 1_000_000
+    assert b1["chars_redundant"] > 0
+    b0 = rows[0]
+    assert b0["n_redundant"] <= b0["n_docs"]
+    # the near-copy batch: redundant iff LSH recalled the planted pair
+    # (same probabilistic bar as the incremental test) — bounded above
+    b2 = rows[2]
+    assert b2["n_redundant"] <= b2["n_docs"]

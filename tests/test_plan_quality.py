@@ -429,3 +429,38 @@ def test_incremental_merge_joins_dictionary_bounded_sides(spark):
 
     plan = _executed_plan(kg_incremental_merge(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_savings_window_ships_ids_not_text(spark):
+    """web_dedup_savings' exact-loser election windows over
+    (doc_id, text_hash) ONLY — the document text must be dropped
+    before the hash-partition exchange feeding the window sort, so
+    the shuffle ships two narrow columns, never the corpus. The
+    text column may legitimately appear in scan/project nodes
+    (md5 input, n_chars) but not below any Exchange hashpartitioning
+    on text_hash."""
+    from kg_covid_19_spark.operators.dedup import web_dedup_savings
+
+    plan = _executed_plan(web_dedup_savings(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the window exchange exists and carries only the two-column frame
+    m = re.search(
+        r"Exchange hashpartitioning\(text_hash[^\n]*", plan
+    )
+    assert m is not None, plan
+    assert "text#" not in m.group(0), m.group(0)
+
+
+def test_dump_overlap_rollup_adds_no_new_corpus_shuffle(spark):
+    """web_dump_overlap's batch-cell rollup must stay inside the
+    candidate machinery: no cartesian/nested-loop join anywhere, and
+    the final aggregate is a partial-combined HashAggregate pair on
+    the (batch_lo, batch_hi) key — a SinglePartition collapse of
+    corpus-sized data would be a scale regression."""
+    from kg_covid_19_spark.operators.dedup import web_dump_overlap
+
+    plan = _executed_plan(web_dump_overlap(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -444,12 +444,25 @@ def test_dedup_savings_window_ships_ids_not_text(spark):
     plan = _executed_plan(web_dedup_savings(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the window exchange exists and carries only the two-column frame
-    m = re.search(
-        r"Exchange hashpartitioning\(text_hash[^\n]*", plan
-    )
-    assert m is not None, plan
-    assert "text#" not in m.group(0), m.group(0)
+    # formatted plan lists each Exchange's Input columns — the tree
+    # string does not, so the width assertion must read this form
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        web_dedup_savings(spark, SF_DIR).explain("formatted")
+    blocks = buf.getvalue().split("\n\n")
+    win_ex = [
+        b for b in blocks
+        if b.splitlines() and "Exchange" in b.splitlines()[0]
+        and "hashpartitioning(text_hash" in b
+    ]
+    assert win_ex, buf.getvalue()
+    for b in win_ex:
+        inp = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert inp.startswith("Input [2]"), inp
+        assert "text#" not in inp, inp
 
 
 def test_dump_overlap_rollup_adds_no_new_corpus_shuffle(spark):

@@ -115,6 +115,7 @@ def _late_bench():
         "web_host_stats": _web_host_stats,
         "web_dump_overlap": DEDUP_QUERIES["web_dump_overlap"],
         "web_dedup_savings": DEDUP_QUERIES["web_dedup_savings"],
+        "kg_cooc_lift": KG_QUERIES["kg_cooc_lift"],
     }
 
 

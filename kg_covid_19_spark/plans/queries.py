@@ -1090,6 +1090,61 @@ def kg_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_counts(get_mention_arrays(spark, sf_dir))
 
 
+def kg_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift per co-occurrence pair — the edge-weighting
+    step that separates signal pairs from chance pairs before a
+    co-occurrence edge enters the KG (reference analog: the SciBite
+    co-occurrence edges ship raw counts; production curation ranks
+    them by association strength). lift = P(a,b) / (P(a)·P(b)) over
+    document space, emitted as exact integer ppm
+    (n_ab · N · 10⁶ div (df_a · df_b)) so the score is
+    engine-reproducible — the same no-libm discipline as jaccard_ppm
+    and txt_bigram_lm (PMI is log(lift); the log is left to the
+    consumer, monotone in this score).
+
+    100 TB shape: pair supports come from the row-local pair
+    expansion (no corpus self-join); per-entity document frequencies
+    are a dictionary-bounded aggregate, broadcast to the pair frame;
+    N is a 1-row broadcast crossJoin (the sanctioned kind). At
+    extreme document counts (N > ~3·10⁹ with dictionary-scale
+    supports) the int64 product needs the DECIMAL(38,0) widening
+    pagerank already uses.
+    """
+    pairs = _pair_counts(get_mention_arrays(spark, sf_dir))
+    m = get_mentions(spark, sf_dir)
+    dfreq = m.groupBy("curie").agg(F.countDistinct("doc_id").alias("df"))
+    n_total = m.agg(F.countDistinct("doc_id").alias("n_total"))
+    return (
+        pairs.join(
+            F.broadcast(
+                dfreq.select(
+                    F.col("curie").alias("subject"), F.col("df").alias("df_s")
+                )
+            ),
+            "subject",
+        )
+        .join(
+            F.broadcast(
+                dfreq.select(
+                    F.col("curie").alias("object"), F.col("df").alias("df_o")
+                )
+            ),
+            "object",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "subject",
+            "object",
+            "n_docs",
+            "df_s",
+            "df_o",
+            F.expr(
+                "n_docs * n_total * 1000000L div (df_s * df_o)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
 def kg_degree_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-assortativity SUFFICIENT STATISTICS in exact integers:
     over all directed edge slots (u→v) of the undirected co-occurrence
@@ -2124,6 +2179,7 @@ KG_QUERIES = {
     "kg_mention_counts": kg_mention_counts,
     "kg_cooccurrence_counts": kg_cooccurrence_counts,
     "kg_cooc_incremental": kg_cooc_incremental,
+    "kg_cooc_lift": kg_cooc_lift,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
@@ -2313,6 +2369,26 @@ SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
 FROM mentions a JOIN mentions b
   ON a.doc_id = b.doc_id AND a.curie < b.curie
 GROUP BY a.curie, b.curie
+""",
+    "kg_cooc_lift": f"""
+WITH {_CTE},
+pair AS (
+  SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id AND a.curie < b.curie
+  GROUP BY a.curie, b.curie
+),
+dfreq AS (
+  SELECT curie, count(DISTINCT doc_id) AS df FROM mentions GROUP BY curie
+),
+tot AS (SELECT count(DISTINCT doc_id) AS n_total FROM mentions)
+SELECT p.subject, p.object, p.n_docs, ds.df AS df_s, dobj.df AS df_o,
+       CAST(p.n_docs * t.n_total * 1000000 // (ds.df * dobj.df) AS BIGINT)
+         AS lift_ppm
+FROM pair p
+JOIN dfreq ds ON p.subject = ds.curie
+JOIN dfreq dobj ON p.object = dobj.curie
+CROSS JOIN tot t
 """,
     "kg_pagerank": f"""
 WITH {_CTE},

@@ -237,3 +237,29 @@ def test_incremental_merge_totals_consistent(spark):
     assert got.get("cooc_edge", 0) == n_pairs
     assert got.get("term_node", 0) == n_terms
     assert got.get("mention_edge", 0) == n_mentions
+
+
+def test_cooc_lift_weights_every_pair_exactly(spark, duck):
+    """kg_cooc_lift must weight EXACTLY the co-occurrence pair set
+    (edge weighting may not drop or invent pairs), agree with its
+    DuckDB oracle at test scale, and satisfy its own integer identity
+    lift_ppm = n_docs*N*1e6 div (df_s*df_o) row by row — a perfectly
+    nested pair (n_docs == df_s == df_o) scores exactly N/df in ppm."""
+    from kg_covid_19_spark.plans.queries import (
+        kg_cooc_lift,
+        kg_cooccurrence_counts,
+    )
+
+    lift = kg_cooc_lift(spark, SF_DIR)
+    assert lift.count() == kg_cooccurrence_counts(spark, SF_DIR).count()
+    assert_df_matches_oracle(lift, duck, KG_ORACLES["kg_cooc_lift"])
+    rows = lift.collect()
+    from kg_covid_19_spark.plans.pipeline import get_mentions
+
+    n = get_mentions(spark, SF_DIR).select("doc_id").distinct().count()
+    for r in rows:
+        assert r["lift_ppm"] == r["n_docs"] * n * 1_000_000 // (
+            r["df_s"] * r["df_o"]
+        )
+        if r["n_docs"] == r["df_s"] == r["df_o"]:
+            assert r["lift_ppm"] == n * 1_000_000 // r["n_docs"]

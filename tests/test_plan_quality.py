@@ -477,3 +477,18 @@ def test_dump_overlap_rollup_adds_no_new_corpus_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cooc_lift_dims_broadcast_cross_is_single_row(spark):
+    """kg_cooc_lift's document-frequency lookups must be broadcast
+    hash joins (dictionary-bounded build sides) and the only
+    nested-loop join must be the sanctioned 1-row N crossJoin — a
+    SortMergeJoin would shuffle the pair frame on entity keys, the
+    exact plan the broadcast design avoids."""
+    from kg_covid_19_spark.plans.queries import kg_cooc_lift
+
+    plan = _executed_plan(kg_cooc_lift(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan

@@ -116,6 +116,7 @@ def _late_bench():
         "web_dump_overlap": DEDUP_QUERIES["web_dump_overlap"],
         "web_dedup_savings": DEDUP_QUERIES["web_dedup_savings"],
         "kg_cooc_lift": KG_QUERIES["kg_cooc_lift"],
+        "kg_assoc_topk": KG_QUERIES["kg_assoc_topk"],
     }
 
 

@@ -20,7 +20,7 @@ Mapping (SURVEY.md §2.3 J11-J13, §2.4 A7):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..dictionaries import kg_cte_sql, normalized_gazetteer
@@ -1145,6 +1145,47 @@ def kg_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASSOC_TOPK = 3
+
+
+def kg_assoc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-graph sparsification: keep each entity's top-K
+    strongest co-occurrence partners by lift — the kNN-graph rule a
+    production KG applies before densely-mentioned entities drown the
+    edge table (a threshold rule goes vacuous as N grows and lift
+    concentrates at 1.0; top-K is scale-invariant by construction).
+    Each undirected pair is evaluated from BOTH endpoints, so an edge
+    survives if either side elects it. Deterministic total order:
+    (lift_ppm desc, n_docs desc, partner asc).
+
+    100 TB shape: the window partitions the PAIR frame by entity —
+    key space ≤ |dictionary|, rows ≤ |dictionary|², both bounded;
+    the corpus never enters the window. Hot entities (the planted
+    hub) hold at most |dictionary|−1 rows per partition."""
+    lift = kg_cooc_lift(spark, sf_dir)
+    both = lift.select(
+        F.col("subject").alias("entity"),
+        F.col("object").alias("partner"),
+        "n_docs",
+        "lift_ppm",
+    ).unionByName(
+        lift.select(
+            F.col("object").alias("entity"),
+            F.col("subject").alias("partner"),
+            "n_docs",
+            "lift_ppm",
+        )
+    )
+    w = Window.partitionBy("entity").orderBy(
+        F.desc("lift_ppm"), F.desc("n_docs"), F.asc("partner")
+    )
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ASSOC_TOPK)
+        .select("entity", "partner", "n_docs", "lift_ppm", "rk")
+    )
+
+
 def kg_degree_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-assortativity SUFFICIENT STATISTICS in exact integers:
     over all directed edge slots (u→v) of the undirected co-occurrence
@@ -2180,6 +2221,7 @@ KG_QUERIES = {
     "kg_cooccurrence_counts": kg_cooccurrence_counts,
     "kg_cooc_incremental": kg_cooc_incremental,
     "kg_cooc_lift": kg_cooc_lift,
+    "kg_assoc_topk": kg_assoc_topk,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
@@ -2389,6 +2431,40 @@ FROM pair p
 JOIN dfreq ds ON p.subject = ds.curie
 JOIN dfreq dobj ON p.object = dobj.curie
 CROSS JOIN tot t
+""",
+    "kg_assoc_topk": f"""
+WITH {_CTE},
+pair AS (
+  SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id AND a.curie < b.curie
+  GROUP BY a.curie, b.curie
+),
+dfreq AS (
+  SELECT curie, count(DISTINCT doc_id) AS df FROM mentions GROUP BY curie
+),
+tot AS (SELECT count(DISTINCT doc_id) AS n_total FROM mentions),
+lift AS (
+  SELECT p.subject, p.object, p.n_docs,
+         CAST(p.n_docs * t.n_total * 1000000 // (ds.df * dobj.df) AS BIGINT)
+           AS lift_ppm
+  FROM pair p
+  JOIN dfreq ds ON p.subject = ds.curie
+  JOIN dfreq dobj ON p.object = dobj.curie
+  CROSS JOIN tot t
+),
+both_dirs AS (
+  SELECT subject AS entity, object AS partner, n_docs, lift_ppm FROM lift
+  UNION ALL
+  SELECT object AS entity, subject AS partner, n_docs, lift_ppm FROM lift
+)
+SELECT entity, partner, n_docs, lift_ppm, CAST(rk AS INT) AS rk FROM (
+  SELECT entity, partner, n_docs, lift_ppm,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY lift_ppm DESC, n_docs DESC,
+                                     partner ASC) AS rk
+  FROM both_dirs
+) WHERE rk <= 3
 """,
     "kg_pagerank": f"""
 WITH {_CTE},

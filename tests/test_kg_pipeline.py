@@ -263,3 +263,34 @@ def test_cooc_lift_weights_every_pair_exactly(spark, duck):
         )
         if r["n_docs"] == r["df_s"] == r["df_o"]:
             assert r["lift_ppm"] == n * 1_000_000 // r["n_docs"]
+
+
+def test_assoc_topk_sparsifies_per_entity(spark, duck):
+    """Every entity with >= ASSOC_TOPK partners keeps exactly
+    ASSOC_TOPK rows ranked 1..K in a deterministic total order
+    (lift desc, support desc, partner asc); entities with fewer keep
+    them all; oracle parity at test scale."""
+    from kg_covid_19_spark.plans.queries import (
+        ASSOC_TOPK,
+        kg_assoc_topk,
+        kg_cooc_lift,
+    )
+
+    topk = kg_assoc_topk(spark, SF_DIR)
+    assert_df_matches_oracle(topk, duck, KG_ORACLES["kg_assoc_topk"])
+    rows = topk.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["entity"], []).append(r)
+    lift = kg_cooc_lift(spark, SF_DIR).collect()
+    n_partners = {}
+    for r in lift:
+        n_partners[r["subject"]] = n_partners.get(r["subject"], 0) + 1
+        n_partners[r["object"]] = n_partners.get(r["object"], 0) + 1
+    for ent, rs in per.items():
+        assert len(rs) == min(ASSOC_TOPK, n_partners[ent])
+        assert sorted(r["rk"] for r in rs) == list(range(1, len(rs) + 1))
+        ordered = sorted(
+            rs, key=lambda r: (-r["lift_ppm"], -r["n_docs"], r["partner"])
+        )
+        assert [r["rk"] for r in ordered] == list(range(1, len(rs) + 1))

@@ -117,6 +117,7 @@ def _late_bench():
         "web_dedup_savings": DEDUP_QUERIES["web_dedup_savings"],
         "kg_cooc_lift": KG_QUERIES["kg_cooc_lift"],
         "kg_assoc_topk": KG_QUERIES["kg_assoc_topk"],
+        "kg_lift_incremental": KG_QUERIES["kg_lift_incremental"],
     }
 
 

@@ -1242,6 +1242,80 @@ def kg_cooc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_lift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the DERIVED score, not just the
+    counts: pair supports, per-entity document frequencies, and the
+    corpus size are each maintained as key-wise SUM merges of BASE-
+    and DELTA-slice aggregates (every input to lift is a commutative
+    monoid over disjoint doc slices), then lift_ppm is recomputed
+    from the maintained sufficient statistics. The DuckDB oracle is
+    the plain full-corpus kg_cooc_lift — incremental == full is the
+    contract, hash-checked. This is the refresh a daily crawl runs:
+    O(delta) new aggregation work + a dictionary-bounded merge;
+    the division is the only non-additive step and it happens LAST,
+    on the merged statistics (re-deriving scores from maintained
+    sums is what makes the score refreshable at all)."""
+    pm = get_mention_arrays(spark, sf_dir)
+    m = get_mentions(spark, sf_dir)
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+
+    pairs = (
+        _pair_counts(pm.filter(~is_delta))
+        .unionByName(_pair_counts(pm.filter(is_delta)))
+        .groupBy("subject", "object")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+
+    def _dfreq(side):
+        return side.groupBy("curie").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+
+    dfreq = (
+        _dfreq(m.filter(~is_delta))
+        .unionByName(_dfreq(m.filter(is_delta)))
+        .groupBy("curie")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    n_total = (
+        m.filter(~is_delta)
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .unionByName(
+            m.filter(is_delta).agg(F.countDistinct("doc_id").alias("n"))
+        )
+        .agg(F.sum("n").cast("long").alias("n_total"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                dfreq.select(
+                    F.col("curie").alias("subject"), F.col("df").alias("df_s")
+                )
+            ),
+            "subject",
+        )
+        .join(
+            F.broadcast(
+                dfreq.select(
+                    F.col("curie").alias("object"), F.col("df").alias("df_o")
+                )
+            ),
+            "object",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "subject",
+            "object",
+            "n_docs",
+            "df_s",
+            "df_o",
+            F.expr(
+                "n_docs * n_total * 1000000L div (df_s * df_o)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
 BFS_ROUNDS = 3
 
 # final frames of the iterative queries, persisted once per
@@ -2222,6 +2296,7 @@ KG_QUERIES = {
     "kg_cooc_incremental": kg_cooc_incremental,
     "kg_cooc_lift": kg_cooc_lift,
     "kg_assoc_topk": kg_assoc_topk,
+    "kg_lift_incremental": kg_lift_incremental,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
@@ -2411,6 +2486,30 @@ SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
 FROM mentions a JOIN mentions b
   ON a.doc_id = b.doc_id AND a.curie < b.curie
 GROUP BY a.curie, b.curie
+""",
+    # incremental == full: every sufficient statistic of lift (pair
+    # supports, doc frequencies, N) is additive over disjoint doc
+    # slices, so the maintained view must hash-equal the full-corpus
+    # score — same contract family as kg_cooc_incremental
+    "kg_lift_incremental": f"""
+WITH {_CTE},
+pair AS (
+  SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id AND a.curie < b.curie
+  GROUP BY a.curie, b.curie
+),
+dfreq AS (
+  SELECT curie, count(DISTINCT doc_id) AS df FROM mentions GROUP BY curie
+),
+tot AS (SELECT count(DISTINCT doc_id) AS n_total FROM mentions)
+SELECT p.subject, p.object, p.n_docs, ds.df AS df_s, dobj.df AS df_o,
+       CAST(p.n_docs * t.n_total * 1000000 // (ds.df * dobj.df) AS BIGINT)
+         AS lift_ppm
+FROM pair p
+JOIN dfreq ds ON p.subject = ds.curie
+JOIN dfreq dobj ON p.object = dobj.curie
+CROSS JOIN tot t
 """,
     "kg_cooc_lift": f"""
 WITH {_CTE},

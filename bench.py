@@ -118,7 +118,14 @@ def _late_bench():
         "kg_cooc_lift": KG_QUERIES["kg_cooc_lift"],
         "kg_assoc_topk": KG_QUERIES["kg_assoc_topk"],
         "kg_lift_incremental": KG_QUERIES["kg_lift_incremental"],
+        "evt_temporal_split": _evt_temporal_split,
     }
+
+
+def _evt_temporal_split(spark, sf_dir):
+    from kg_covid_19_spark.streaming.events import evt_temporal_split
+
+    return evt_temporal_split(spark, sf_dir)
 
 
 def _evt_rate_spikes(spark, sf_dir):

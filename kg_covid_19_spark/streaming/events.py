@@ -321,6 +321,59 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMPORAL_SPLIT_TS = "2024-01-24 00:00:00"
+
+
+def evt_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout accounting — THE evaluation split for event/
+    recommendation models (random splits leak the future into
+    training): everything before a fixed boundary trains, everything
+    after tests, and the report carries the warm/cold decomposition an
+    honest temporal eval must publish — test users WITH train history
+    (warm: the model has seen them) vs without (cold-start), plus how
+    many test events each group owns. One user-keyed aggregation (the
+    single exchange; distinct-user day counts collapse map-side) then
+    a 1-row rollup — no event-level self-joins, no per-row Python.
+
+    The boundary is a constant, not a computed quantile: a quantile
+    boundary would shift with every ingest and silently re-label past
+    eval sets; production temporal evals pin the wall-clock cut."""
+    return temporal_split_frame(_events(spark, sf_dir), TEMPORAL_SPLIT_TS)
+
+
+def temporal_split_frame(events: DataFrame, boundary: str) -> DataFrame:
+    """Frame-level core of evt_temporal_split — injectable so the
+    cold-start branch (zero on the always-active synthetic users) is
+    pinned by a planted pytest, the schema_validation pattern."""
+    ev = events.select(
+        "user_id",
+        (F.col("ts") < F.lit(boundary).cast("timestamp")).alias("is_train"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("n_te"),
+    )
+    return per_user.agg(
+        F.sum("n_tr").cast("long").alias("n_train_events"),
+        F.sum("n_te").cast("long").alias("n_test_events"),
+        F.sum(F.when(F.col("n_tr") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_users"),
+        F.sum(F.when(F.col("n_te") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test_users"),
+        F.sum(F.when((F.col("n_te") > 0) & (F.col("n_tr") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_warm_test_users"),
+        F.sum(F.when((F.col("n_te") > 0) & (F.col("n_tr") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cold_test_users"),
+        F.sum(F.when(F.col("n_tr") > 0, F.col("n_te")).otherwise(0))
+        .cast("long")
+        .alias("n_warm_test_events"),
+    )
+
+
 def evt_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type
     (approx_count_distinct, rsd 2%) — the mergeable-sketch counting
@@ -518,6 +571,29 @@ def rate_spikes_frame(events: DataFrame) -> DataFrame:
 
 
 EVENTS_ORACLES = {
+    "evt_temporal_split": f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '{TEMPORAL_SPLIT_TS}'
+                  THEN 1 ELSE 0 END) AS n_tr,
+         sum(CASE WHEN ts < TIMESTAMP '{TEMPORAL_SPLIT_TS}'
+                  THEN 0 ELSE 1 END) AS n_te
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(n_tr) AS BIGINT) AS n_train_events,
+       CAST(sum(n_te) AS BIGINT) AS n_test_events,
+       CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train_users,
+       CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test_users,
+       CAST(sum(CASE WHEN n_te > 0 AND n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_warm_test_users,
+       CAST(sum(CASE WHEN n_te > 0 AND n_tr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cold_test_users,
+       CAST(sum(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT)
+         AS n_warm_test_events
+FROM per_user
+""",
     "evt_rate_spikes": f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_start,
@@ -708,6 +784,7 @@ EVENTS_QUERIES = {
     "evt_sessions_native": evt_sessions_native,
     "evt_sliding_counts": evt_sliding_counts,
     "evt_rate_spikes": evt_rate_spikes,
+    "evt_temporal_split": evt_temporal_split,
     "evt_retention": evt_retention,
     "evt_props_stats": evt_props_stats,
     "evt_approx_user_counts": evt_approx_user_counts,

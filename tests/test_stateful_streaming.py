@@ -74,3 +74,49 @@ def test_rate_spikes_planted_burst(spark):
     assert set(got) == {SPIKE_TRAIL, 4}  # hours 0-2 lack full history
     assert got[3] == (2, 6, False)
     assert got[4] == (10, 6, True)   # 10*3 > 2*6
+
+
+def test_temporal_split_warm_cold_decomposition(spark):
+    """Planted frame pins the warm/cold branch the synthetic corpus
+    can't reach (its users are active on both sides of the boundary):
+    user 1 is warm (train + test), user 2 cold (test only), user 3
+    train-only; every report column is exactly determined."""
+    from kg_covid_19_spark.streaming.events import temporal_split_frame
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-10 00:00:00"),
+            (1, "2024-01-25 00:00:00"),
+            (1, "2024-01-26 00:00:00"),
+            (2, "2024-01-28 00:00:00"),
+            (3, "2024-01-02 00:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    row = temporal_split_frame(ev, "2024-01-24 00:00:00").collect()[0]
+    assert row["n_train_events"] == 2
+    assert row["n_test_events"] == 3
+    assert row["n_train_users"] == 2
+    assert row["n_test_users"] == 2
+    assert row["n_warm_test_users"] == 1
+    assert row["n_cold_test_users"] == 1
+    assert row["n_warm_test_events"] == 2
+
+
+def test_temporal_split_registry_no_future_leak(spark):
+    """On the real corpus the registry query must balance: train+test
+    events = all events, warm+cold = test users, and the boundary
+    actually splits (both sides non-empty — a vacuous cut would make
+    every temporal-eval claim empty)."""
+    from kg_covid_19_spark.streaming.events import evt_temporal_split
+
+    row = evt_temporal_split(spark, SF_DIR).collect()[0]
+    total = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    )
+    assert row["n_train_events"] + row["n_test_events"] == total
+    assert row["n_train_events"] > 0 and row["n_test_events"] > 0
+    assert (
+        row["n_warm_test_users"] + row["n_cold_test_users"]
+        == row["n_test_users"]
+    )

@@ -119,6 +119,7 @@ def _late_bench():
         "kg_assoc_topk": KG_QUERIES["kg_assoc_topk"],
         "kg_lift_incremental": KG_QUERIES["kg_lift_incremental"],
         "evt_temporal_split": _evt_temporal_split,
+        "kg_random_walks": KG_QUERIES["kg_random_walks"],
     }
 
 

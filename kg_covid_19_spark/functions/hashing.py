@@ -19,8 +19,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def hash_mod(tag: str, value: Column, n: int) -> Column:
-    """Uniform [0, n) gate from md5('<tag>|value')."""
+def hash_mod(tag: str, value: Column, n: int | Column) -> Column:
+    """Uniform [0, n) gate from md5('<tag>|value'); ``n`` may be a
+    per-row Column (e.g. a node degree for walk-step selection)."""
     return (
         F.conv(
             F.substring(

@@ -1316,6 +1316,87 @@ def kg_lift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WALK_STEPS = 3   # transitions per walk (walk visits WALK_STEPS+1 nodes)
+WALKS_PER_NODE = 2
+
+
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec-style walk corpus over the co-occurrence
+    graph — the training-data export for graph-embedding models, made
+    reproducible by replacing the RNG with the engine's shared hash
+    gate (functions/hashing.py): at each step the next neighbor is
+    adjacency index md5('walk|start|walk_id|step|cur') mod deg(cur),
+    over a canonically ordered adjacency (row_number by neighbor id).
+    A pure function of the graph — identical across runs, engines,
+    parallelism levels — so the walk corpus itself is hash-checked
+    against the DuckDB oracle, not just row-counted.
+
+    100 TB shape: each unrolled step is one equi-join of the walk
+    frontier (|nodes|·WALKS_PER_NODE rows) against the adjacency on
+    the current node — frontier-sized shuffles, never edge-squared;
+    the adjacency with its (idx, deg) annotation is built once by a
+    single window over the edge list and would be a persisted/bucketed
+    artifact keyed by node in production, exactly like the incremental
+    dedup index."""
+    from ..functions.hashing import hash_mod
+
+    und = _cooc_undirected(spark, sf_dir)
+    w = Window.partitionBy("u").orderBy("v")
+    adj = und.select(
+        "u",
+        "v",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy("u")).alias("deg"),
+    )
+    starts = adj.select("u").distinct()
+    frontier = starts.crossJoin(
+        spark.range(WALKS_PER_NODE).select(
+            F.col("id").cast("int").alias("walk_id")
+        )
+    ).select(F.col("u").alias("start"), "walk_id")
+    out = frontier.select(
+        "start", "walk_id", F.lit(0).alias("step"),
+        F.col("start").alias("node"),
+    )
+    cur = frontier.withColumn("cur", F.col("start"))
+    for s in range(1, WALK_STEPS + 1):
+        key = F.concat_ws(
+            "|", "start", F.col("walk_id").cast("string"),
+            F.lit(str(s)), "cur",
+        )
+        a = adj.alias(f"a{s}")
+        cur = (
+            cur.join(
+                a,
+                (F.col(f"a{s}.u") == F.col("cur"))
+                & (
+                    F.col(f"a{s}.idx")
+                    == hash_mod("walk", key, F.col(f"a{s}.deg"))
+                ),
+            )
+            .select("start", "walk_id", F.col(f"a{s}.v").alias("cur"))
+        )
+        out = out.unionByName(
+            cur.select(
+                "start", "walk_id", F.lit(s).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out
+
+
+def _cooc_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions of the distinct co-occurrence pair set."""
+    pairs = _pair_counts(get_mention_arrays(spark, sf_dir)).select(
+        "subject", "object"
+    )
+    return pairs.select(
+        F.col("subject").alias("u"), F.col("object").alias("v")
+    ).unionByName(
+        pairs.select(F.col("object").alias("u"), F.col("subject").alias("v"))
+    )
+
+
 BFS_ROUNDS = 3
 
 # final frames of the iterative queries, persisted once per
@@ -2297,6 +2378,7 @@ KG_QUERIES = {
     "kg_cooc_lift": kg_cooc_lift,
     "kg_assoc_topk": kg_assoc_topk,
     "kg_lift_incremental": kg_lift_incremental,
+    "kg_random_walks": kg_random_walks,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
@@ -2331,6 +2413,46 @@ def _linkdict_sql() -> str:
     return f"linkdict(term, curie) AS (VALUES\n    {rows})"
 
 _CTE = kg_cte_sql()
+
+
+def _walks_sql() -> str:
+    """Unrolled walk CTEs — one chain per step, each selecting the
+    adjacency row whose canonical index equals the shared hash gate
+    (functions/hashing.hash_mod_sql), the exact SQL twin of the Spark
+    loop in kg_random_walks."""
+    from ..functions.hashing import hash_mod_sql
+
+    walk_ids = ", ".join(str(i) for i in range(WALKS_PER_NODE))
+    parts = [
+        """pair AS (
+  SELECT a.curie AS subject, b.curie AS object
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id AND a.curie < b.curie
+  GROUP BY a.curie, b.curie
+)""",
+        "und AS (SELECT subject AS u, object AS v FROM pair "
+        "UNION ALL SELECT object AS u, subject AS v FROM pair)",
+        "adj AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v)"
+        " - 1 AS idx, count(*) OVER (PARTITION BY u) AS deg FROM und)",
+        f"w0 AS (SELECT u AS start, walk_id FROM (SELECT DISTINCT u FROM adj)"
+        f" CROSS JOIN (SELECT unnest([{walk_ids}]) AS walk_id))",
+    ]
+    prev, prev_cur = "w0", "w.start"
+    for s in range(1, WALK_STEPS + 1):
+        key = f"w.start || '|' || w.walk_id || '|{s}|' || {prev_cur}"
+        parts.append(
+            f"c{s} AS (SELECT w.start, w.walk_id, a.v AS cur "
+            f"FROM {prev} w JOIN adj a ON a.u = {prev_cur} "
+            f"AND a.idx = {hash_mod_sql('walk', key, 'a.deg')})"
+        )
+        prev, prev_cur = f"c{s}", "w.cur"
+    selects = [
+        "SELECT start, walk_id, 0 AS step, start AS node FROM w0"
+    ] + [
+        f"SELECT start, walk_id, {s} AS step, cur AS node FROM c{s}"
+        for s in range(1, WALK_STEPS + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 KG_ORACLES = {
     "kg_category_counts": f"""
@@ -2486,6 +2608,10 @@ SELECT a.curie AS subject, b.curie AS object, count(*) AS n_docs
 FROM mentions a JOIN mentions b
   ON a.doc_id = b.doc_id AND a.curie < b.curie
 GROUP BY a.curie, b.curie
+""",
+    "kg_random_walks": f"""
+WITH {_CTE},
+{_walks_sql()}
 """,
     # incremental == full: every sufficient statistic of lift (pair
     # supports, doc frequencies, N) is additive over disjoint doc

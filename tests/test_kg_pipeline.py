@@ -294,3 +294,37 @@ def test_assoc_topk_sparsifies_per_entity(spark, duck):
             rs, key=lambda r: (-r["lift_ppm"], -r["n_docs"], r["partner"])
         )
         assert [r["rk"] for r in ordered] == list(range(1, len(rs) + 1))
+
+
+def test_random_walks_are_valid_graph_walks(spark, duck):
+    """Every emitted transition (step s -> s+1) must be a real edge of
+    the undirected co-occurrence graph; every start node emits
+    WALKS_PER_NODE walks of exactly WALK_STEPS+1 positions; oracle
+    parity pins the hash-gate determinism cross-engine."""
+    from kg_covid_19_spark.plans.queries import (
+        WALK_STEPS,
+        WALKS_PER_NODE,
+        kg_cooccurrence_counts,
+        kg_random_walks,
+    )
+
+    walks = kg_random_walks(spark, SF_DIR)
+    assert_df_matches_oracle(walks, duck, KG_ORACLES["kg_random_walks"])
+    rows = walks.collect()
+    edges = set()
+    for r in kg_cooccurrence_counts(spark, SF_DIR).collect():
+        edges.add((r["subject"], r["object"]))
+        edges.add((r["object"], r["subject"]))
+    seq = {}
+    for r in rows:
+        seq.setdefault((r["start"], r["walk_id"]), {})[r["step"]] = r["node"]
+    starts = {s for s, _ in seq}
+    assert all(
+        len({(s, w) for s, w in seq if s == st}) == WALKS_PER_NODE
+        for st in starts
+    )
+    for (st, w), pos in seq.items():
+        assert sorted(pos) == list(range(WALK_STEPS + 1))
+        assert pos[0] == st
+        for s in range(WALK_STEPS):
+            assert (pos[s], pos[s + 1]) in edges, (st, w, s, pos)

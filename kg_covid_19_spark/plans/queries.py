@@ -1340,14 +1340,24 @@ def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup index."""
     from ..functions.hashing import hash_mod
 
-    und = _cooc_undirected(spark, sf_dir)
-    w = Window.partitionBy("u").orderBy("v")
-    adj = und.select(
-        "u",
-        "v",
-        (F.row_number().over(w) - 1).alias("idx"),
-        F.count("*").over(Window.partitionBy("u")).alias("deg"),
-    )
+    # the annotated adjacency is referenced once per unrolled step;
+    # without pinning it, the corpus-scale pair expansion upstream
+    # re-executes WALK_STEPS+1 times (no ReusedExchange across the
+    # step joins) — persist the dictionary-bounded frame once, the
+    # _ITER_CACHE discipline the other iterative queries use
+    key = (*table_source_key(spark, sf_dir), "walk_adjacency")
+    if key not in _ITER_CACHE:
+        und = _cooc_undirected(spark, sf_dir)
+        w = Window.partitionBy("u").orderBy("v")
+        a = und.select(
+            "u",
+            "v",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count("*").over(Window.partitionBy("u")).alias("deg"),
+        ).persist()
+        a.count()
+        _ITER_CACHE[key] = a
+    adj = _ITER_CACHE[key]
     starts = adj.select("u").distinct()
     frontier = starts.crossJoin(
         spark.range(WALKS_PER_NODE).select(

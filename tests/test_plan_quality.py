@@ -492,3 +492,19 @@ def test_cooc_lift_dims_broadcast_cross_is_single_row(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_random_walks_read_pinned_adjacency(spark):
+    """kg_random_walks must read the persisted adjacency in every
+    unrolled step (InMemoryTableScan present; one scan per step plus
+    the starts scan) — losing the pin silently re-executes the
+    corpus-scale pair expansion WALK_STEPS+1 times."""
+    from kg_covid_19_spark.plans.queries import (
+        WALK_STEPS,
+        kg_random_walks,
+    )
+
+    plan = _executed_plan(kg_random_walks(spark, SF_DIR))
+    n_mem = plan.count("InMemoryTableScan")
+    assert n_mem >= WALK_STEPS + 1, plan
+    assert "CartesianProduct" not in plan

@@ -120,6 +120,7 @@ def _late_bench():
         "kg_lift_incremental": KG_QUERIES["kg_lift_incremental"],
         "evt_temporal_split": _evt_temporal_split,
         "kg_random_walks": KG_QUERIES["kg_random_walks"],
+        "kg_walk_skipgrams": KG_QUERIES["kg_walk_skipgrams"],
     }
 
 

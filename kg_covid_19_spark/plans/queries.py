@@ -1395,6 +1395,40 @@ def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def kg_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus —
+    the final export an embedding trainer actually consumes: within
+    each walk, every ordered (center, context) node pair at step
+    distance 1..SKIPGRAM_WINDOW, aggregated to pair counts. Because
+    the walks are RNG-free, the full training-pair distribution is
+    engine-reproducible and hash-checked, not sampled.
+
+    100 TB shape: the self-join keys on (start, walk_id) — each group
+    is one walk of WALK_STEPS+1 rows, so the join fans out a bounded
+    (WALK_STEPS+1)·2·SKIPGRAM_WINDOW pairs per walk; the final count
+    groupBy is over the ≤|dict|² pair key space, partial-combined
+    map-side."""
+    w = kg_random_walks(spark, sf_dir)
+    a, b = w.alias("a"), w.alias("b")
+    dist = F.abs(F.col("a.step") - F.col("b.step"))
+    return (
+        a.join(
+            b,
+            (F.col("a.start") == F.col("b.start"))
+            & (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (dist >= 1)
+            & (dist <= SKIPGRAM_WINDOW),
+        )
+        .groupBy(
+            F.col("a.node").alias("center"), F.col("b.node").alias("context")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _cooc_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both directions of the distinct co-occurrence pair set."""
     pairs = _pair_counts(get_mention_arrays(spark, sf_dir)).select(
@@ -2389,6 +2423,7 @@ KG_QUERIES = {
     "kg_assoc_topk": kg_assoc_topk,
     "kg_lift_incremental": kg_lift_incremental,
     "kg_random_walks": kg_random_walks,
+    "kg_walk_skipgrams": kg_walk_skipgrams,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_linked_mentions_scored": kg_linked_mentions_scored,
@@ -2425,11 +2460,12 @@ def _linkdict_sql() -> str:
 _CTE = kg_cte_sql()
 
 
-def _walks_sql() -> str:
+def _walks_sql(as_cte: bool = False) -> str:
     """Unrolled walk CTEs — one chain per step, each selecting the
     adjacency row whose canonical index equals the shared hash gate
     (functions/hashing.hash_mod_sql), the exact SQL twin of the Spark
-    loop in kg_random_walks."""
+    loop in kg_random_walks. With ``as_cte`` the walk union is wrapped
+    as a ``walks`` CTE for consumers (kg_walk_skipgrams)."""
     from ..functions.hashing import hash_mod_sql
 
     walk_ids = ", ".join(str(i) for i in range(WALKS_PER_NODE))
@@ -2462,7 +2498,10 @@ def _walks_sql() -> str:
         f"SELECT start, walk_id, {s} AS step, cur AS node FROM c{s}"
         for s in range(1, WALK_STEPS + 1)
     ]
-    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    union = "\nUNION ALL\n".join(selects)
+    if as_cte:
+        return ",\n".join(parts) + f",\nwalks AS (\n{union}\n)"
+    return ",\n".join(parts) + "\n" + union
 
 KG_ORACLES = {
     "kg_category_counts": f"""
@@ -2622,6 +2661,15 @@ GROUP BY a.curie, b.curie
     "kg_random_walks": f"""
 WITH {_CTE},
 {_walks_sql()}
+""",
+    "kg_walk_skipgrams": f"""
+WITH {_CTE},
+{_walks_sql(as_cte=True)}
+SELECT a.node AS center, b.node AS context, count(*) AS n
+FROM walks a JOIN walks b
+  ON a.start = b.start AND a.walk_id = b.walk_id
+  AND abs(a.step - b.step) BETWEEN 1 AND {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
 """,
     # incremental == full: every sufficient statistic of lift (pair
     # supports, doc frequencies, N) is additive over disjoint doc

@@ -328,3 +328,32 @@ def test_random_walks_are_valid_graph_walks(spark, duck):
         assert pos[0] == st
         for s in range(WALK_STEPS):
             assert (pos[s], pos[s + 1]) in edges, (st, w, s, pos)
+
+
+def test_walk_skipgrams_symmetric_and_bounded(spark, duck):
+    """Skip-gram pairs are symmetric by construction (|s-t| symmetric:
+    n(center,context) == n(context,center)), total pair slots equal
+    the exact window combinatorics of WALKS (each walk of L=WALK_STEPS+1
+    positions yields 2*sum over d=1..W of (L-d) ordered pairs), and
+    the oracle hash pins the distribution."""
+    from kg_covid_19_spark.plans.queries import (
+        SKIPGRAM_WINDOW,
+        WALK_STEPS,
+        WALKS_PER_NODE,
+        kg_random_walks,
+        kg_walk_skipgrams,
+    )
+
+    sg = kg_walk_skipgrams(spark, SF_DIR)
+    assert_df_matches_oracle(sg, duck, KG_ORACLES["kg_walk_skipgrams"])
+    rows = sg.collect()
+    counts = {(r["center"], r["context"]): r["n"] for r in rows}
+    for (c, x), n in counts.items():
+        assert counts[(x, c)] == n
+    n_walks = (
+        kg_random_walks(spark, SF_DIR)
+        .filter("step = 0").count()
+    )
+    L = WALK_STEPS + 1
+    slots_per_walk = 2 * sum(L - d for d in range(1, SKIPGRAM_WINDOW + 1))
+    assert sum(counts.values()) == n_walks * slots_per_walk

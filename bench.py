@@ -121,6 +121,7 @@ def _late_bench():
         "evt_temporal_split": _evt_temporal_split,
         "kg_random_walks": KG_QUERIES["kg_random_walks"],
         "kg_walk_skipgrams": KG_QUERIES["kg_walk_skipgrams"],
+        "web_quality_funnel": DEDUP_QUERIES["web_quality_funnel"],
     }
 
 

@@ -665,6 +665,76 @@ def web_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_MIN_TOKENS = 40
+FUNNEL_MIN_QUALITY = 0.6
+
+
+def web_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation yield funnel — the stage-by-stage docs/chars
+    survival report every data team publishes for a crawl: raw ingest
+    → minimum-length gate → quality gate → exact dedup (min-doc_id
+    keeper per md5 among survivors) → near dedup (drop the newer side
+    of verified pairs whose BOTH endpoints survived). Stages nest:
+    each filter applies to the previous stage's survivors, so the
+    report reads as a monotone funnel. The quality score is the
+    parity-checked 6-decimal txt_quality heuristic, so the float
+    threshold compare is bit-identical cross-engine.
+
+    100 TB shape: stages 1–3 are row-local column predicates folded
+    into one scan; stage 4 is the ids-only (doc_id, md5) window;
+    stage 5 reuses the bounded LSH pair set semi-joined to survivors.
+    The output is STAGE_COUNT rows — every aggregation partial-
+    combines to a handful of cells."""
+    from ..functions.textstats import quality_score
+
+    toks = F.size(F.split(F.col("text"), " "))
+    q = quality_score(F.col("text"))
+    docs = dedup_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        toks.alias("n_tok"),
+        q.alias("quality"),
+        F.md5("text").alias("text_hash"),
+    )
+    s2 = docs.filter(F.col("n_tok") >= FUNNEL_MIN_TOKENS)
+    s3 = s2.filter(F.col("quality") >= FUNNEL_MIN_QUALITY)
+    w = Window.partitionBy("text_hash")
+    s4 = (
+        s3.withColumn("keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .drop("keep")
+    )
+    pairs = _verified_pair_ppm(spark, sf_dir).filter(
+        F.col("jaccard_ppm") >= 500_000
+    )
+    surv = s4.select("doc_id")
+    near_losers = (
+        pairs.join(surv.withColumnRenamed("doc_id", "a"), "a", "semi")
+        .join(surv.withColumnRenamed("doc_id", "b"), "b", "semi")
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    s5 = s4.join(near_losers, "doc_id", "left_anti")
+
+    def _stage(df: DataFrame, ordinal: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ordinal).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias(
+                "n_chars"
+            ),
+        )
+
+    return (
+        _stage(docs, 1, "raw")
+        .unionByName(_stage(s2, 2, "minlen"))
+        .unionByName(_stage(s3, 3, "quality"))
+        .unionByName(_stage(s4, 4, "exact_dedup"))
+        .unionByName(_stage(s5, 5, "near_dedup"))
+    )
+
+
 def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor election — the corpus-curation refinement
     of doc_dedup_clusters: instead of min-doc_id-wins, each near-dup
@@ -1379,6 +1449,50 @@ JOIN sizes za ON i.a = za.doc_id
 JOIN sizes zb ON i.b = zb.doc_id
 WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.5
 """,
+    "web_quality_funnel": f"""
+WITH {_candidates_sql()},
+{_NEARDUP_CHAIN_SQL},
+d AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         {_quality_sql_expr()} AS quality,
+         md5(text) AS text_hash
+  FROM corpus
+),
+s2 AS (SELECT * FROM d WHERE n_tok >= {FUNNEL_MIN_TOKENS}),
+s3 AS (SELECT * FROM s2 WHERE quality >= {FUNNEL_MIN_QUALITY}),
+s4 AS (
+  SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           min(doc_id) OVER (PARTITION BY text_hash) AS keep
+    FROM s3
+  ) WHERE doc_id = keep
+),
+near_losers AS (
+  SELECT DISTINCT i.b AS doc_id
+  FROM inter i
+  JOIN sizes za ON i.a = za.doc_id
+  JOIN sizes zb ON i.b = zb.doc_id
+  JOIN s4 sa ON i.a = sa.doc_id
+  JOIN s4 sb ON i.b = sb.doc_id
+  WHERE n_inter * 1000000 // (za.n_sh + zb.n_sh - n_inter) >= 500000
+),
+s5 AS (
+  SELECT s4.doc_id, s4.n_chars FROM s4
+  LEFT JOIN near_losers nl ON s4.doc_id = nl.doc_id
+  WHERE nl.doc_id IS NULL
+)
+SELECT 1 AS stage, 'raw' AS name, count(*) AS n_docs,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars FROM d
+UNION ALL SELECT 2, 'minlen', count(*),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'quality', count(*),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'exact_dedup', count(*),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
+UNION ALL SELECT 5, 'near_dedup', count(*),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5
+""",
     "web_dump_overlap": f"""
 WITH {_candidates_sql()},
 {_NEARDUP_CHAIN_SQL},
@@ -1584,4 +1698,5 @@ DEDUP_QUERIES = {
     "doc_incremental_neardup": doc_incremental_neardup,
     "web_dump_overlap": web_dump_overlap,
     "web_dedup_savings": web_dedup_savings,
+    "web_quality_funnel": web_quality_funnel,
 }

@@ -591,3 +591,26 @@ def test_dedup_savings_accounting(spark):
     # (same probabilistic bar as the incremental test) — bounded above
     b2 = rows[2]
     assert b2["n_redundant"] <= b2["n_docs"]
+
+
+def test_quality_funnel_is_monotone_and_non_vacuous(spark):
+    """The funnel must be a true funnel: docs and chars non-increasing
+    stage over stage, every stage present exactly once, and each gate
+    actually drops something on the synthetic corpus (planted copies
+    guarantee the dedup stages; the 10-99-token length spread
+    guarantees the minlen and quality gates)."""
+    from kg_covid_19_spark.operators.dedup import web_quality_funnel
+
+    rows = {r["stage"]: r for r in
+            web_quality_funnel(spark, SF_DIR).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert [rows[s]["name"] for s in sorted(rows)] == [
+        "raw", "minlen", "quality", "exact_dedup", "near_dedup"
+    ]
+    for s in range(2, 6):
+        assert rows[s]["n_docs"] <= rows[s - 1]["n_docs"]
+        assert rows[s]["n_chars"] <= rows[s - 1]["n_chars"]
+    # every gate bites: raw > minlen-survivors, exact dedup removes the
+    # planted copies that survive the quality gates
+    assert rows[2]["n_docs"] < rows[1]["n_docs"]
+    assert rows[4]["n_docs"] < rows[3]["n_docs"]

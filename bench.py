@@ -122,7 +122,21 @@ def _late_bench():
         "kg_random_walks": KG_QUERIES["kg_random_walks"],
         "kg_walk_skipgrams": KG_QUERIES["kg_walk_skipgrams"],
         "web_quality_funnel": DEDUP_QUERIES["web_quality_funnel"],
+        "evt_bot_users": _evt_bot_users,
+        "kg_ego_export": _kg_ego_export,
     }
+
+
+def _evt_bot_users(spark, sf_dir):
+    from kg_covid_19_spark.streaming.events import evt_bot_users
+
+    return evt_bot_users(spark, sf_dir)
+
+
+def _kg_ego_export(spark, sf_dir):
+    from kg_covid_19_spark.plans.merged import kg_ego_export
+
+    return kg_ego_export(spark, sf_dir)
 
 
 def _evt_temporal_split(spark, sf_dir):

@@ -90,6 +90,50 @@ def kg_dangling_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_ego_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop ego-net export per ENTITY seed — the neighborhood-sampling
+    table a GNN trainer reads instead of the raw edge list: for every
+    non-publication node, its hop-1 neighborhood (the publications
+    mentioning it + linked entities) and the hop-2 frontier (nodes
+    reachable through hop-1, minus hop-1 and the seed), labeled with
+    the MINIMUM hop. Seeding on the entity side keeps the export
+    bounded: entity seeds are dictionary-scale, hop-1 is the mention
+    edge list re-keyed, and hop-2 collapses back to the dictionary —
+    publication seeds would explode through hub entities into a
+    pairs-of-documents blowup (the shape this design exists to avoid).
+
+    100 TB shape: two frontier equi-joins on the node key + distinct;
+    the broadcast seed set prunes the first join; no per-seed loops,
+    no collect."""
+    nodes, edges = get_merged(spark, sf_dir)
+    und = edges.select(
+        F.col("subject").alias("u"), F.col("object").alias("v")
+    ).unionByName(
+        edges.select(F.col("object").alias("u"), F.col("subject").alias("v"))
+    ).distinct()
+    seeds = F.broadcast(
+        nodes.filter(F.col("category") != "biolink:Publication")
+        .select(F.col("id").alias("seed"))
+        .distinct()
+    )
+    h1 = (
+        seeds.join(und, F.col("seed") == F.col("u"))
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+    )
+    h2 = (
+        h1.join(und, F.col("node") == F.col("u"))
+        .select("seed", F.col("v").alias("node2"))
+        .distinct()
+        .withColumnRenamed("node2", "node")
+        .join(h1, ["seed", "node"], "left_anti")
+        .filter(F.col("node") != F.col("seed"))
+    )
+    return h1.select(
+        "seed", "node", F.lit(1).alias("hop")
+    ).unionByName(h2.select("seed", "node", F.lit(2).alias("hop")))
+
+
 MERGED_QUERIES = {
     "kg_merged_nodes": kg_merged_nodes,
     "kg_merged_edges": kg_merged_edges,
@@ -97,6 +141,7 @@ MERGED_QUERIES = {
     "kg_graph_stats": kg_graph_stats,
     "kg_namespace_counts": kg_namespace_counts,
     "kg_dangling_edges": kg_dangling_edges,
+    "kg_ego_export": kg_ego_export,
 }
 
 _CTE = merged_cte_sql()
@@ -136,5 +181,35 @@ FROM merged_nodes GROUP BY category, provided_by
 UNION ALL
 SELECT 'edge' AS kind, predicate AS facet, provided_by, count(*) AS n
 FROM merged_edges GROUP BY predicate, provided_by
+""",
+    "kg_ego_export": f"""
+WITH {_CTE},
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT subject AS u, object AS v FROM merged_edges
+    UNION ALL
+    SELECT object AS u, subject AS v FROM merged_edges
+  )
+),
+seeds AS (
+  SELECT DISTINCT id AS seed FROM merged_nodes
+  WHERE category <> 'biolink:Publication'
+),
+h1 AS (
+  SELECT DISTINCT s.seed, und.v AS node
+  FROM seeds s JOIN und ON s.seed = und.u
+),
+h2 AS (
+  SELECT seed, node FROM (
+    SELECT DISTINCT h1.seed, und.v AS node
+    FROM h1 JOIN und ON h1.node = und.u
+  ) x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM h1 WHERE h1.seed = x.seed AND h1.node = x.node
+  ) AND x.node <> x.seed
+)
+SELECT seed, node, 1 AS hop FROM h1
+UNION ALL
+SELECT seed, node, 2 AS hop FROM h2
 """,
 }

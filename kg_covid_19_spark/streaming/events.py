@@ -321,6 +321,58 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOT_FACTOR = 3  # flag users emitting > BOT_FACTOR x the mean event rate
+
+
+def evt_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based bot/spam-user flagging — the traffic-hygiene gate a
+    web event pipeline runs before any engagement metric: per user,
+    total events and distinct active days, flagged when the user's
+    event count exceeds BOT_FACTOR × the fleet mean. The threshold
+    compare stays in exact integer cross-multiplication
+    (n_events · n_users > BOT_FACTOR · total_events) — no float mean,
+    no percentile, so the flag is engine- and scale-reproducible.
+
+    100 TB shape: one user-keyed aggregation (distinct days collapse
+    map-side per user), a 1-row total broadcast, and a row-local
+    predicate — the same single-exchange budget as the session
+    queries.
+
+    The synthetic fleet is near-uniform (max/mean ≈ 1.4), so no user
+    trips a 3× gate there — the oracle still hash-verifies the whole
+    flag COLUMN, and the planted pytest
+    (test_bot_users_planted_flood) pins the flagged branch."""
+    return bot_users_frame(_events(spark, sf_dir))
+
+
+def bot_users_frame(events: DataFrame) -> DataFrame:
+    """Frame-level core of evt_bot_users — injectable so a planted
+    flood user exercises the flagged branch."""
+    ev = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+    tot = per_user.agg(
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            "n_days",
+            (
+                F.col("n_events") * F.col("n_users")
+                > F.lit(BOT_FACTOR) * F.col("total_events")
+            ).alias("flagged"),
+        )
+    )
+
+
 TEMPORAL_SPLIT_TS = "2024-01-24 00:00:00"
 
 
@@ -571,6 +623,21 @@ def rate_spikes_frame(events: DataFrame) -> DataFrame:
 
 
 EVENTS_ORACLES = {
+    "evt_bot_users": f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM per_user
+)
+SELECT user_id, n_events, n_days,
+       n_events * n_users > {BOT_FACTOR} * total_events AS flagged
+FROM per_user CROSS JOIN tot
+""",
     "evt_temporal_split": f"""
 WITH per_user AS (
   SELECT user_id,
@@ -785,6 +852,7 @@ EVENTS_QUERIES = {
     "evt_sliding_counts": evt_sliding_counts,
     "evt_rate_spikes": evt_rate_spikes,
     "evt_temporal_split": evt_temporal_split,
+    "evt_bot_users": evt_bot_users,
     "evt_retention": evt_retention,
     "evt_props_stats": evt_props_stats,
     "evt_approx_user_counts": evt_approx_user_counts,

@@ -120,3 +120,23 @@ def test_temporal_split_registry_no_future_leak(spark):
         row["n_warm_test_users"] + row["n_cold_test_users"]
         == row["n_test_users"]
     )
+
+
+def test_bot_users_planted_flood(spark):
+    """A planted flood user (100 events vs three 10-event humans) must
+    be the only flag: 100*4 = 400 > 3*130 = 390; every human clears
+    it (10*4 = 40 < 390). Pins the flagged branch the near-uniform
+    synthetic fleet never reaches."""
+    from kg_covid_19_spark.streaming.events import bot_users_frame
+
+    rows = []
+    for u, n in ((1, 10), (2, 10), (3, 10), (99, 100)):
+        rows += [(u, f"2024-01-{(i % 28) + 1:02d} 00:00:00")
+                 for i in range(n)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r["user_id"]: r for r in bot_users_frame(ev).collect()}
+    assert got[99]["flagged"] is True
+    assert all(not got[u]["flagged"] for u in (1, 2, 3))
+    assert got[99]["n_events"] == 100 and got[99]["n_days"] == 28

@@ -106,11 +106,22 @@ def kg_ego_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast seed set prunes the first join; no per-seed loops,
     no collect."""
     nodes, edges = get_merged(spark, sf_dir)
-    und = edges.select(
-        F.col("subject").alias("u"), F.col("object").alias("v")
-    ).unionByName(
-        edges.select(F.col("object").alias("u"), F.col("subject").alias("v"))
-    ).distinct()
+    # the undirected frame feeds BOTH hop joins — pin it once (the
+    # walk-adjacency lesson: no ReusedExchange across sibling joins,
+    # so an unpinned und re-unions and re-distincts the edge list per
+    # hop; measured ~2x at sf1)
+    key = (*table_source_key(spark, sf_dir), "ego_und")
+    if key not in _MERGED_CACHE:
+        u = edges.select(
+            F.col("subject").alias("u"), F.col("object").alias("v")
+        ).unionByName(
+            edges.select(
+                F.col("object").alias("u"), F.col("subject").alias("v")
+            )
+        ).distinct().persist()
+        u.count()
+        _MERGED_CACHE[key] = u
+    und = _MERGED_CACHE[key]
     seeds = F.broadcast(
         nodes.filter(F.col("category") != "biolink:Publication")
         .select(F.col("id").alias("seed"))

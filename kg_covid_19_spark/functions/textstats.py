@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.corpus import read_table, register_session_cache, table_source_key
+from ..sources.corpus import (
+    ensure_min_parallelism,
+    read_table,
+    register_session_cache,
+    table_source_key,
+)
 
 # marker stopwords per language (deterministic toy lists — the n-gram
 # heuristic shape; real lists would be broadcast the same way)
@@ -581,7 +586,10 @@ def txt_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the") skew that shuffle and AQE's skew-join split absorbs it, the
     same hazard class the planted-hub plan test pins. V is a 1-row
     aggregate crossJoined in, never collected."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_min_parallelism(
+        spark, sf_dir,
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    )
     return bigram_lm_frame(docs)
 
 
@@ -604,6 +612,10 @@ def bigram_lm_frame(docs: DataFrame) -> DataFrame:
             ).alias("b"),
         )
         .select("doc_id", "b.w1", "b.w2")
+        # pinned (r7): the bigram stream feeds THREE consumers (C2, C1
+        # and the score join's probe side) — unpinned, the corpus-wide
+        # explode executed three times (guide §1.2)
+        .persist()
     )
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
     c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))

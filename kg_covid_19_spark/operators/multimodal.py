@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.corpus import read_table
+from ..sources.corpus import ensure_min_parallelism, read_table
 
 MEDIA_META_SCHEMA = StructType(
     [
@@ -741,9 +741,15 @@ def decode_media(data: bytes, decoder: str = "fake-v1") -> tuple[int, int]:
 
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a synthetic binary media column (utf-8 text bytes) —
-    the stand-in for (url, media binary) rows."""
-    return read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
+    the stand-in for (url, media binary) rows. Lifted to default
+    parallelism (r7): every consumer is a per-media decode/feature
+    kernel, and the under-split toy scan serialized them onto one task
+    (guide §2.6); at scale the repartition is a no-op."""
+    return ensure_min_parallelism(
+        spark, sf_dir,
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("media")
+        ),
     )
 
 
@@ -1103,34 +1109,52 @@ _BANDS = ((0, 4), (4, 8))  # two bands of 4 dims (0-based slices)
 
 def _band_key(band_ix: int, lo: int, hi: int,
               probe: bool = False) -> F.Column:
-    """'<band>|i_lo..i_hi' grid-cell key over one band's dims; with
-    ``probe`` each index is shifted by the joined offset column o<j>
-    (the ±1 neighborhood)."""
-    parts = [F.lit(f"{band_ix}|")]
+    """Packed-long grid-cell key over one band's dims; with ``probe``
+    each index is shifted by the joined offset column o<j> (the ±1
+    neighborhood). r7: the key was a '<band>|i1_i2_i3_i4' string —
+    hashing, comparing and shuffling 20-char strings on the
+    production-heavy candidate join; grid indices are bounded
+    (ppm div GRID_Q ∈ [0, 10⁶/GRID_Q], ±1 probe shift), so 7 bits per
+    dim packs the same key into one long (guide §2.3: narrower types
+    on the exchange)."""
+    code: F.Column = F.lit(band_ix).cast("long")
     for j, i in enumerate(range(lo, hi)):
-        if j:
-            parts.append(F.lit("_"))
         idx = F.expr(f"element_at(v, {i + 1}) div {GRID_Q}")
         if probe:
             idx = idx + F.col(f"o{j + 1}")
-        parts.append(idx.cast("string"))
-    return F.concat(*parts)
+        code = code * 128 + (idx + 1)
+    return code
 
 
-def _offsets_df(spark: SparkSession):
-    """The 81 probe offsets (±1 per band dim) as a broadcastable 81-row
-    frame — joined rather than unrolled into 81 key expressions, which
-    blew the 64 KB whole-stage-codegen limit and dropped the entire
-    probe stage to interpreted evaluation (measured 12 s → this shape
-    keeps one small concat in codegen)."""
-    return F.broadcast(
-        spark.range(81).select(
-            *[
-                F.expr(f"id div {3 ** j} % 3 - 1").alias(f"o{j + 1}")
-                for j in range(4)
-            ]
-        )
+def _offsets_df(spark: SparkSession, half: bool = False):
+    """The 81 probe offsets (±1 per band dim) as a broadcastable frame —
+    joined rather than unrolled into 81 key expressions, which blew the
+    64 KB whole-stage-codegen limit and dropped the entire probe stage
+    to interpreted evaluation (measured 12 s → this shape keeps one
+    small arithmetic chain in codegen).
+
+    ``half`` (r7): only the 41 offsets whose first nonzero component is
+    +1 (plus the zero offset). Candidate pairs are undirected, and with
+    the full 81-offset set every qualifying pair was produced twice —
+    once per direction — then halved by a post-join filter; probing the
+    lexicographically-nonnegative half produces each cross-cell pair
+    exactly once (for cell delta d, exactly one of d/−d is in the set),
+    cutting join production ~2× with the identical result set (the
+    survivor emits least/greatest ids, and same-cell double hits fall
+    to the final distinct)."""
+    offs = spark.range(81).select(
+        *[
+            F.expr(f"id div {3 ** j} % 3 - 1").alias(f"o{j + 1}")
+            for j in range(4)
+        ]
     )
+    if half:
+        offs = offs.filter(
+            "(o1 = 1) OR (o1 = 0 AND o2 = 1) "
+            "OR (o1 = 0 AND o2 = 0 AND o3 = 1) "
+            "OR (o1 = 0 AND o2 = 0 AND o3 = 0 AND o4 >= 0)"
+        )
+    return F.broadcast(offs)
 
 
 def media_grid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,7 +1209,7 @@ def grid_neardup_frame(spark: SparkSession, g: DataFrame) -> DataFrame:
         for bi, (lo, hi) in enumerate(_BANDS)
     ]
     own = own_parts[0].unionAll(own_parts[1])
-    offs = _offsets_df(spark)
+    offs = _offsets_df(spark, half=True)
     probe_parts = [
         g.crossJoin(offs).select(
             F.col("doc_id").alias("id_b"), F.col("v").alias("vb"),
@@ -1219,15 +1243,13 @@ def grid_neardup_frame(spark: SparkSession, g: DataFrame) -> DataFrame:
     )
 
     def _occ_key(shift: bool) -> F.Column:
-        parts = [F.col("band").cast("string"), F.lit("|")]
+        code: F.Column = F.col("band").cast("long")
         for j in range(4):
-            if j:
-                parts.append(F.lit("_"))
             idx = F.col(f"i{j + 1}")
             if shift:
                 idx = idx + F.col(f"o{j + 1}")
-            parts.append(idx.cast("string"))
-        return F.concat(*parts)
+            code = code * 128 + (idx + 1)
+        return code
 
     own_n = occ.select(_occ_key(False).alias("k"), F.col("n").alias("n_own"))
     probe_n = (
@@ -1266,10 +1288,18 @@ def grid_neardup_frame(spark: SparkSession, g: DataFrame) -> DataFrame:
     )
     return (
         own_s.join(probe_s, ["k", "salt"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .withColumn("l1_ppm", l1)
         .filter(F.col("l1_ppm") <= L1_MAX_PPM)
-        .select("id_a", "id_b", "l1_ppm")
+        # half-offset probing produces each cross-cell pair in ONE
+        # direction; canonicalize to id_a < id_b (L1 is symmetric) and
+        # let the distinct absorb same-cell/second-band double hits —
+        # the result multiset is identical to the two-direction form
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "l1_ppm",
+        )
         .distinct()  # a pair may qualify through both bands
     )
 

@@ -25,7 +25,12 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.corpus import read_table, register_session_cache, table_source_key
+from ..sources.corpus import (
+    ensure_min_parallelism,
+    read_table,
+    register_session_cache,
+    table_source_key,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -53,6 +58,10 @@ PLANES: list[list[float]] = [
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # zip_with+aggregate, deliberately: an unrolled 64-term element_at
+    # chain was measured 6× SLOWER at DIM=64 (r7 microbench — unlike
+    # the 8-term grid L1 sum, 64 terms are past the codegen sweet
+    # spot), so the fold stays.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -65,8 +74,14 @@ def _norm(a: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # lifted to default parallelism (r7): the similarity scans feed
+    # DIM-wide scoring chains and the toy embeddings parquet is a
+    # single split (guide §2.6); no-op at scale
+    return ensure_min_parallelism(
+        spark, sf_dir,
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
     )
 
 

@@ -78,7 +78,10 @@ def make_triple_udf(entries: list[tuple[str, str, str, str]] | None = None):
 
 
 def doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All extracted triples with document provenance — narrow chain."""
+    """All extracted triples with document provenance — narrow chain.
+    (r7: a min-parallelism repartition was tried and REVERTED — the
+    extractor kernel is cheap enough that the extra exchange cost more
+    than the serial scan at both bench scales, measured +8%/+20%.)"""
     udf = make_triple_udf()
     return (
         read_table(spark, sf_dir, "documents")

@@ -112,13 +112,18 @@ def kg_ego_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hop; measured ~2x at sf1)
     key = (*table_source_key(spark, sf_dir), "ego_und")
     if key not in _MERGED_CACHE:
+        # hash-partition the pinned frame on the hop-join key (r7): the
+        # distinct leaves it partitioned on (u, v), so BOTH hop joins
+        # re-exchanged the full 2|E| frame; partitioned on u the cached
+        # partitioning is reused and only the (smaller) frontier side
+        # shuffles (guide §2.4)
         u = edges.select(
             F.col("subject").alias("u"), F.col("object").alias("v")
         ).unionByName(
             edges.select(
                 F.col("object").alias("u"), F.col("subject").alias("v")
             )
-        ).distinct().persist()
+        ).distinct().repartition(F.col("u")).persist()
         u.count()
         _MERGED_CACHE[key] = u
     und = _MERGED_CACHE[key]
@@ -127,11 +132,22 @@ def kg_ego_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("seed"))
         .distinct()
     )
-    h1 = (
-        seeds.join(und, F.col("seed") == F.col("u"))
-        .select("seed", F.col("v").alias("node"))
-        .distinct()
-    )
+    # hop-1 feeds THREE consumers (the hop-2 frontier join, the
+    # anti-join, the output union); r7 pins it once — same lesson as
+    # the undirected frame above (no ReusedExchange across sibling
+    # joins, so an unpinned h1 re-ran the seed⋈und distinct three
+    # times). Bounded: Σ deg(seed) pairs, dictionary-scale seeds.
+    h1_key = (*table_source_key(spark, sf_dir), "ego_h1")
+    if h1_key not in _MERGED_CACHE:
+        h1p = (
+            seeds.join(und, F.col("seed") == F.col("u"))
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .persist()
+        )
+        h1p.count()
+        _MERGED_CACHE[h1_key] = h1p
+    h1 = _MERGED_CACHE[h1_key]
     h2 = (
         h1.join(und, F.col("node") == F.col("u"))
         .select("seed", F.col("v").alias("node2"))

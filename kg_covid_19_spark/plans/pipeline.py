@@ -141,20 +141,21 @@ def build_kg(spark: SparkSession, sf_dir: str,
     biolink:correlated_with term-term edges (scibite_cord.py:290-340), all
     deduped on the KGX keys (id) / (subject,predicate,object,relation).
     """
-    pm = pages_with_mentions(spark, sf_dir, langs)
     doc_curie = F.concat(F.lit(DOC_PREFIX), F.col("doc_id").cast("string"))
 
     # The mention kernel feeds THREE branches (term nodes, mention edges,
     # co-occurrence pairs); without a shared materialization each branch
-    # re-evaluates the UDF over the whole corpus. Persist the compact
-    # (doc_id, curies) projection — ids + a few CURIEs per doc, orders of
-    # magnitude smaller than the text — so the kernel runs exactly once
-    # per build. MEMORY_AND_DISK: at 100 TB the projection spills rather
-    # than recomputes. (On a cluster this is the natural intermediate
+    # re-evaluates the UDF over the whole corpus. The compact (doc_id,
+    # curies) projection — ids + a few CURIEs per doc, orders of
+    # magnitude smaller than the text — is the SHARED session artifact
+    # get_mention_arrays owns (r7: build_kg, get_mentions and the pair
+    # queries each used to materialize their own copy, i.e. THREE full
+    # corpus passes through the mention kernel per session; now the
+    # kernel runs exactly once). MEMORY_AND_DISK inside
+    # get_mention_arrays: at 100 TB the projection spills rather than
+    # recomputes. (On a cluster this is the natural intermediate
     # Iceberg table between extraction and graph materialization.)
-    mid = pm.select("doc_id", "curies").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    mid = get_mention_arrays(spark, sf_dir, langs)
 
     # publication nodes need only doc_id — read it off the persisted
     # projection (column-pruned, no UDF, no second corpus scan).
@@ -266,7 +267,15 @@ def get_mentions(spark: SparkSession, sf_dir: str,
                  langs: tuple[str, ...] | None = None) -> DataFrame:
     key = (*table_source_key(spark, sf_dir), langs)
     if key not in _MENTION_CACHE:
-        m = doc_mentions(spark, sf_dir, langs).persist()
+        # derived from the shared mention-array artifact (r7) — a
+        # row-local explode of the cached projection, NOT a second
+        # corpus pass through the mention kernel
+        m = (
+            get_mention_arrays(spark, sf_dir, langs)
+            .select("doc_id", F.explode_outer("curies").alias("curie"))
+            .filter(F.col("curie").isNotNull())
+            .persist()
+        )
         m.count()
         _MENTION_CACHE[key] = m
     return _MENTION_CACHE[key]

@@ -104,6 +104,24 @@ def _scan_partitions(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
+def ensure_min_parallelism(spark: SparkSession, sf_dir: str,
+                           df: DataFrame) -> DataFrame:
+    """web_pages' min-parallelism policy, shared: when the documents scan
+    has fewer splits than the default parallelism, round-robin the frame
+    up to it so downstream Arrow kernels / expression chains use every
+    core instead of serializing onto one or two scan tasks (guide §2.6 /
+    §6: the small-file single-row-group trap). At 100 TB the scan has
+    thousands of splits and this is a no-op; the repartition only fires
+    for under-split inputs, where the shuffled bytes are by construction
+    small. Deterministic: sort-before-repartition (on by default) makes
+    the round-robin assignment retry-stable, and every consumer is
+    row-order insensitive."""
+    target = spark.sparkContext.defaultParallelism
+    if _scan_partitions(spark, sf_dir) < target:
+        return df.repartition(target)
+    return df
+
+
 def web_pages(spark: SparkSession, sf_dir: str,
               langs: tuple[str, ...] | None = None) -> DataFrame:
     """The engine's input table per BASELINE.json input_hint:

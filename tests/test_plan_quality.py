@@ -484,10 +484,13 @@ def test_cooc_lift_dims_broadcast_cross_is_single_row(spark):
     hash joins (dictionary-bounded build sides) and the only
     nested-loop join must be the sanctioned 1-row N crossJoin — a
     SortMergeJoin would shuffle the pair frame on entity keys, the
-    exact plan the broadcast design avoids."""
-    from kg_covid_19_spark.plans.queries import kg_cooc_lift
+    exact plan the broadcast design avoids. r7: pinned on the uncached
+    builder — kg_cooc_lift now session-caches the finished table, and
+    a cached InMemoryRelation hides the join operators from the
+    executed-plan string."""
+    from kg_covid_19_spark.plans.queries import _cooc_lift_build
 
-    plan = _executed_plan(kg_cooc_lift(spark, SF_DIR))
+    plan = _executed_plan(_cooc_lift_build(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan

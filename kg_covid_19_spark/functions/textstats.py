@@ -586,9 +586,13 @@ def txt_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the") skew that shuffle and AQE's skew-join split absorbs it, the
     same hazard class the planted-hub plan test pins. V is a 1-row
     aggregate crossJoined in, never collected."""
+    # size-gated lift (r7): the bigram explode is JVM column algebra —
+    # cheap enough per byte that the exchange only pays off once the
+    # corpus is ≥ a few MB (measured: +71% at 0.6 MB, −34% at 12 MB)
     docs = ensure_min_parallelism(
         spark, sf_dir,
         read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=4 << 20,
     )
     return bigram_lm_frame(docs)
 

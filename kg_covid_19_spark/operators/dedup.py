@@ -1092,6 +1092,7 @@ def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(
         spark, sf_dir,
         read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=4 << 20,
     )
     sh = docs.select(
         "doc_id",
@@ -1172,6 +1173,7 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(
         spark, sf_dir,
         read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=4 << 20,
     )
     pos = docs.select(
         "doc_id",
@@ -1238,6 +1240,7 @@ def doc_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(
         spark, sf_dir,
         read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=4 << 20,
     )
     span_lists = (
         doc_dup_spans(spark, sf_dir)
@@ -1383,6 +1386,7 @@ def doc_dup_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(
         spark, sf_dir,
         read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=4 << 20,
     )
     sh = docs.select(
         "doc_id",

@@ -76,12 +76,15 @@ def _norm(a: Column) -> Column:
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lifted to default parallelism (r7): the similarity scans feed
     # DIM-wide scoring chains and the toy embeddings parquet is a
-    # single split (guide §2.6); no-op at scale
+    # single split (guide §2.6); no-op at scale. Gated on input size
+    # like media_frame: below ~4 MB the exchange outweighs the serial
+    # scoring it parallelizes.
     return ensure_min_parallelism(
         spark, sf_dir,
         read_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         ),
+        min_bytes=4 << 20,
     )
 
 
@@ -459,21 +462,22 @@ def _emb_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag. Deterministic: min over integer ids; the pair graph itself
     is the already-parity-checked emb_cosine_neardup output."""
     pairs = emb_cosine_neardup(spark, sf_dir).select("id_a", "id_b")
-    # persist: the bucket self-join + cosine verify under `und` feeds
-    # the initial distinct AND every propagation round
+    # eager localCheckpoint, not persist (r7): materializes the bucket
+    # self-join + cosine verify once for the initial distinct and every
+    # propagation round AND truncates the analyzed plan, so round k's
+    # Catalyst analysis no longer re-nests earlier rounds (the measured
+    # growing-round-wall effect in the doc cluster loop)
     und = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).unionAll(
         pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
-    ).persist()
-    und.count()
+    ).localCheckpoint(eager=True)
     lbl = (
         und.select(F.col("a").alias("vec_id"))
         .distinct()
         .withColumn("lbl", F.col("vec_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    prev = lbl
     for _ in range(EMB_CLUSTER_ROUNDS):
         nbr = und.join(lbl, und.b == lbl.vec_id).select(
             und.a.alias("vec_id"), "lbl"
@@ -482,12 +486,8 @@ def _emb_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             lbl.unionByName(nbr)
             .groupBy("vec_id")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        lbl.count()
-        prev.unpersist()
-        prev = lbl
-    und.unpersist()  # final labels are materialized; pair graph done
     return lbl.select(
         "vec_id",
         F.col("lbl").alias("cluster"),

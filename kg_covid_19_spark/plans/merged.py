@@ -117,13 +117,17 @@ def kg_ego_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-exchanged the full 2|E| frame; partitioned on u the cached
         # partitioning is reused and only the (smaller) frontier side
         # shuffles (guide §2.4)
+        # repartition BEFORE distinct: hashpartitioning(u) satisfies the
+        # distinct's clustering requirement on (u, v) (u co-locates every
+        # duplicate), so the dedup runs on the same exchange instead of
+        # adding a second one
         u = edges.select(
             F.col("subject").alias("u"), F.col("object").alias("v")
         ).unionByName(
             edges.select(
                 F.col("object").alias("u"), F.col("subject").alias("v")
             )
-        ).distinct().repartition(F.col("u")).persist()
+        ).repartition(F.col("u")).distinct().persist()
         u.count()
         _MERGED_CACHE[key] = u
     und = _MERGED_CACHE[key]
@@ -148,17 +152,25 @@ def kg_ego_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         h1p.count()
         _MERGED_CACHE[h1_key] = h1p
     h1 = _MERGED_CACHE[h1_key]
-    h2 = (
+    # r7: the old shape shuffled the hop-2 production TWICE — once for
+    # its distinct, once more through the anti-join against h1 — before
+    # unioning. MIN-hop over (production ∪ h1) is the same set in ONE
+    # keyed aggregation (partial-agg collapses duplicates map-side):
+    # a pair in h1 gets min=1 (exactly the h1 rows); a pair reachable
+    # only at hop 2 gets min=2 (exactly distinct-production − h1); the
+    # seed itself is excluded from hop-2 rows as before. Proven
+    # equivalent by the unchanged DuckDB oracle hash.
+    h2pre = (
         h1.join(und, F.col("node") == F.col("u"))
-        .select("seed", F.col("v").alias("node2"))
-        .distinct()
-        .withColumnRenamed("node2", "node")
-        .join(h1, ["seed", "node"], "left_anti")
-        .filter(F.col("node") != F.col("seed"))
+        .select("seed", F.col("v").alias("node"), F.lit(2).alias("hop"))
     )
-    return h1.select(
-        "seed", "node", F.lit(1).alias("hop")
-    ).unionByName(h2.select("seed", "node", F.lit(2).alias("hop")))
+    return (
+        h1.select("seed", "node", F.lit(1).alias("hop"))
+        .unionByName(h2pre)
+        .groupBy("seed", "node")
+        .agg(F.min("hop").alias("hop"))
+        .filter((F.col("hop") == 1) | (F.col("node") != F.col("seed")))
+    )
 
 
 MERGED_QUERIES = {

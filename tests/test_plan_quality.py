@@ -487,9 +487,16 @@ def test_cooc_lift_dims_broadcast_cross_is_single_row(spark):
     exact plan the broadcast design avoids. r7: pinned on the uncached
     builder — kg_cooc_lift now session-caches the finished table, and
     a cached InMemoryRelation hides the join operators from the
-    executed-plan string."""
-    from kg_covid_19_spark.plans.queries import _cooc_lift_build
+    executed-plan string. The cache entry is evicted first: the
+    CacheManager substitutes a matching cached plan into the builder's
+    tree, which both hides operators and re-prints subtrees."""
+    from kg_covid_19_spark.plans.queries import _ITER_CACHE, _cooc_lift_build
+    from kg_covid_19_spark.sources.corpus import table_source_key
 
+    key = (*table_source_key(spark, SF_DIR), "cooc_lift")
+    cached = _ITER_CACHE.pop(key, None)
+    if cached is not None:
+        cached.unpersist()
     plan = _executed_plan(_cooc_lift_build(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan

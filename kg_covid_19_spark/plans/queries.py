@@ -2129,15 +2129,32 @@ def linked_mentions_scored(
     """
     docs = read_table(spark, sf_dir, "documents")
     gaz_row = gaz.agg(
-        F.max(F.length("term")).alias("m"), F.count("*").alias("n")
-    ).collect()  # dictionary-sized aggregation: two scalars, one action
+        F.max(F.length("term")).alias("m"),
+        F.count("*").alias("n"),
+        F.concat_ws("", F.collect_set("term")).alias("chars"),
+    ).collect()  # dictionary-sized aggregation: three scalars, one action
     max_tok_len = int(gaz_row[0]["m"] or 0) + LINK_MAX_DIST
     n_terms = int(gaz_row[0]["n"])
+    # alphabet prefilter (r7, guide §3.2 — drop definitely-non-matching
+    # rows before the exploding join): lev(a, b) ≤ LINK_MAX_DIST means
+    # ≤ LINK_MAX_DIST edit ops, and each op can account for at most ONE
+    # character of `a` absent from `b` — so a token with more than
+    # LINK_MAX_DIST characters outside the union dictionary alphabet is
+    # beyond the distance bound to EVERY term. Lossless: pruned tokens
+    # can produce no candidate, and unmatched tokens never reach the
+    # output. On the sf1 vocabulary this removes 96.9% of distinct
+    # tokens before the distinct + ~34-key-per-token explosion
+    # (measured; the synthetic long-tail tokens are hex-ish).
+    alphabet = "".join(sorted(set(gaz_row[0]["chars"] or "")))
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(
             (F.col("token") != "")
             & (F.length("token") <= max_tok_len)
+            & (
+                F.length(F.translate(F.col("token"), alphabet, ""))
+                <= LINK_MAX_DIST
+            )
         )
         .distinct()
     )

@@ -248,13 +248,32 @@ def pair_expand(curies) -> "F.Column":  # type: ignore[name-defined]
     )
 
 
+def _artifact_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count for the persisted graph artifacts, derived from
+    input size (guide §2: scale-adaptive, never a local constant): one
+    partition per ~8 MB of corpus, floored at 2. The KGX frames are
+    narrow projections off the cached mention arrays, so their union
+    branches inherited the ingest's 32 partitions each — ~65 near-empty
+    partitions at bench scale, and every one of the ~30 downstream graph
+    queries paid a task per partition per scan (measured: the merge
+    stage alone re-scanned them 4×). coalesce() to this count is a
+    no-op at 100 TB (count ≥ existing partitions) and collapses only
+    cache-read + projection work locally — the mention kernel's own
+    parallelism is untouched (its artifact stays at ingest width)."""
+    from ..sources.corpus import _scan_layout
+
+    _, nbytes = _scan_layout(spark, sf_dir)
+    return max(2, nbytes // (8 << 20))
+
+
 def get_kg(spark: SparkSession, sf_dir: str,
            langs: tuple[str, ...] | None = None) -> tuple[DataFrame, DataFrame]:
     key = (*table_source_key(spark, sf_dir), langs)
     if key not in _KG_CACHE:
+        n_parts = _artifact_partitions(spark, sf_dir)
         nodes, edges = build_kg(spark, sf_dir, langs)
-        nodes = nodes.persist()
-        edges = edges.persist()
+        nodes = nodes.coalesce(n_parts).persist()
+        edges = edges.coalesce(n_parts).persist()
         # eager materialization: queries must read the graph, not re-run
         # the transform per union branch.
         nodes.count()
@@ -274,6 +293,7 @@ def get_mentions(spark: SparkSession, sf_dir: str,
             get_mention_arrays(spark, sf_dir, langs)
             .select("doc_id", F.explode_outer("curies").alias("curie"))
             .filter(F.col("curie").isNotNull())
+            .coalesce(_artifact_partitions(spark, sf_dir))
             .persist()
         )
         m.count()

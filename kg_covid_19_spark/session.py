@@ -59,6 +59,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan INSIDE cached plans (off by default): without
+        # it every persisted artifact pins its un-coalesced shuffle
+        # partitioning and each downstream scan pays a task per
+        # partition (r7, guide §2.2: fewer, larger partitions — sized
+        # by AQE from bytes, so correct at any scale)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Broadcast threshold: our dictionaries (gazetteer, SSSOM map) are

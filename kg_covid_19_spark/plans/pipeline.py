@@ -312,6 +312,25 @@ def get_mention_arrays(spark: SparkSession, sf_dir: str,
             .select("doc_id", "curies")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pm.count()
-        _ARRAY_CACHE[key] = pm
+        pm.count()  # mention kernel runs at full ingest width
+        # compact the artifact AFTER materialization (r7): the cached
+        # frame kept the 32-partition ingest width and every consumer
+        # scan paid a task per near-empty partition (the incremental
+        # family alone scans it 4×/query). The coalesce target derives
+        # from input size (no-op at scale); eager localCheckpoint makes
+        # the compact copy a leaf so dropping the wide original can
+        # never re-trigger the kernel at the narrow width. The divisor
+        # is 16× finer than the node/edge artifacts' because consumers
+        # run the interpreted pair-expansion HOF over each row (~100
+        # steps/doc) — at 8 MB/partition the sf1 expansion serialized
+        # onto 2 tasks and the incremental family tripled (measured).
+        from ..sources.corpus import _scan_layout
+
+        _, nbytes = _scan_layout(spark, sf_dir)
+        compact = (
+            pm.coalesce(max(2, nbytes // (512 << 10)))
+            .localCheckpoint(eager=True)
+        )
+        pm.unpersist()
+        _ARRAY_CACHE[key] = compact
     return _ARRAY_CACHE[key]

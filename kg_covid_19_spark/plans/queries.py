@@ -1113,17 +1113,12 @@ def kg_cooc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     supports) the int64 product needs the DECIMAL(38,0) widening
     pagerank already uses.
 
-    r7: the finished lift table (≤|dictionary|² rows) is session-
-    cached — kg_assoc_topk references it through BOTH arms of its
-    endpoint union, which re-executed the dfreq/n_total aggregations
-    and the three joins twice. The broadcast-join plan shape is pinned
-    on the uncached builder (_cooc_lift_build) by the plan test."""
-    key = (*table_source_key(spark, sf_dir), "cooc_lift")
-    if key in _ITER_CACHE:
-        return _ITER_CACHE[key]
-    lift = _cooc_lift_build(spark, sf_dir).persist()
-    _ITER_CACHE[key] = lift
-    return lift
+    r7: kg_assoc_topk used to reference this frame through BOTH arms of
+    an endpoint union, re-executing the dfreq/n_total aggregations and
+    the three joins twice; it now expands both directions row-locally
+    (explode of two structs), so the lift plan executes once per
+    consumer and needs no persist."""
+    return _cooc_lift_build(spark, sf_dir)
 
 
 def _cooc_lift_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1180,19 +1175,28 @@ def kg_assoc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus never enters the window. Hot entities (the planted
     hub) hold at most |dictionary|−1 rows per partition."""
     lift = kg_cooc_lift(spark, sf_dir)
+    # both directions via a row-local explode of two structs (r7): the
+    # former two-arm union referenced the lift plan twice, re-running
+    # its aggregations and joins per arm — this form evaluates lift
+    # once, with the identical row multiset
     both = lift.select(
-        F.col("subject").alias("entity"),
-        F.col("object").alias("partner"),
-        "n_docs",
-        "lift_ppm",
-    ).unionByName(
-        lift.select(
-            F.col("object").alias("entity"),
-            F.col("subject").alias("partner"),
-            "n_docs",
-            "lift_ppm",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subject").alias("entity"),
+                    F.col("object").alias("partner"),
+                    F.col("n_docs").alias("n_docs"),
+                    F.col("lift_ppm").alias("lift_ppm"),
+                ),
+                F.struct(
+                    F.col("object").alias("entity"),
+                    F.col("subject").alias("partner"),
+                    F.col("n_docs").alias("n_docs"),
+                    F.col("lift_ppm").alias("lift_ppm"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.entity", "e.partner", "e.n_docs", "e.lift_ppm")
     w = Window.partitionBy("entity").orderBy(
         F.desc("lift_ppm"), F.desc("n_docs"), F.asc("partner")
     )

@@ -484,19 +484,12 @@ def test_cooc_lift_dims_broadcast_cross_is_single_row(spark):
     hash joins (dictionary-bounded build sides) and the only
     nested-loop join must be the sanctioned 1-row N crossJoin — a
     SortMergeJoin would shuffle the pair frame on entity keys, the
-    exact plan the broadcast design avoids. r7: pinned on the uncached
-    builder — kg_cooc_lift now session-caches the finished table, and
-    a cached InMemoryRelation hides the join operators from the
-    executed-plan string. The cache entry is evicted first: the
-    CacheManager substitutes a matching cached plan into the builder's
-    tree, which both hides operators and re-prints subtrees."""
-    from kg_covid_19_spark.plans.queries import _ITER_CACHE, _cooc_lift_build
-    from kg_covid_19_spark.sources.corpus import table_source_key
+    exact plan the broadcast design avoids. r7: pinned on the builder
+    (kg_cooc_lift delegates to it; the query is uncached — assoc_topk
+    now expands endpoint directions row-locally instead of re-reading
+    the lift plan through a two-arm union)."""
+    from kg_covid_19_spark.plans.queries import _cooc_lift_build
 
-    key = (*table_source_key(spark, SF_DIR), "cooc_lift")
-    cached = _ITER_CACHE.pop(key, None)
-    if cached is not None:
-        cached.unpersist()
     plan = _executed_plan(_cooc_lift_build(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
